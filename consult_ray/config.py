@@ -1,0 +1,105 @@
+"""Pipeline configuration — the analog of CONSULT's fixed hyper-parameters.
+
+The reference fixes its signature config in code (SL=32 at
+/root/reference/main_map.cpp:61, p=3 at :198, K=15 at :213, L=2 at :220,
+SIGS_COLMN=7 => bucket cap 28 at :62, c=1 default at
+/root/reference/main_search.cpp:110-116) and, for reproducibility, pins
+the sampled bit positions in the map_fixed_pos variant
+(/root/reference/map_fixed_pos/main_map_fixed_pos.cpp:423-424).  We do the
+same: every random choice below is derived from a fixed seed so cluster
+assignments are deterministic and retries are value-identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+U64 = np.uint64
+
+
+def _sample_bit_positions(seed: int, n_bands: int, bits_per_band: int, width: int = 64) -> np.ndarray:
+    """Fixed per-band bit positions sampled from a 64-bit SimHash.
+
+    Analog of CONSULT's random K-of-32 position draw
+    (/root/reference/main_map.cpp:385-416), pinned by seed the way
+    map_fixed_pos pins them with constants.
+    Returns (n_bands, bits_per_band) int64, descending per band (the
+    reference sorts positions descending at main_map.cpp:406).
+    """
+    rng = np.random.default_rng(seed)
+    out = np.empty((n_bands, bits_per_band), dtype=np.int64)
+    for l in range(n_bands):
+        pos = rng.choice(width, size=bits_per_band, replace=False)
+        out[l] = np.sort(pos)[::-1]
+    return out
+
+
+def _minhash_coeffs(seed: int, num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed odd multipliers + offsets for multiply-shift MinHash permutations."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * U64(2) + U64(1)  # odd
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- shingling (CONSULT SL=32 analog: 32-byte char shingles) ---
+    shingle_k: int = 32
+
+    # --- SimHash + bit-sampled LSH bands (CONSULT-faithful path) ---
+    # L band families, K sampled bits each (main_map.cpp:210-220,213).
+    simhash_bands: int = 2          # L
+    simhash_bits_per_band: int = 15  # K
+    hamming_budget: int = 3          # p (main_map.cpp:198): verify popcount(xor)<=p
+
+    # --- MinHash LSH (the scale/recall path) ---
+    num_perm: int = 128
+    minhash_bands: int = 16          # b
+    minhash_rows: int = 8            # r  (b*r == num_perm)
+    jaccard_threshold: float = 0.8   # verify threshold for minhash-only edges
+
+    # --- bucket / collision policy ---
+    bucket_cap: int = 28             # SIGS_COLMN*partitions=28 (main_map.cpp:62)
+    collision_threshold: int = 1     # c (main_search.cpp:110-116 default 1)
+
+    # --- determinism ---
+    seed: int = 42
+
+    # --- execution knobs (single-node defaults; scale by cluster size) ---
+    batch_size: int = 4096
+    join_partitions: int = 32
+    cc_max_iters: int = 50
+
+    # derived, cached at first use
+    _cache: dict = field(default_factory=dict, compare=False, hash=False, repr=False)
+
+    @property
+    def band_positions(self) -> np.ndarray:
+        if "pos" not in self._cache:
+            self._cache["pos"] = _sample_bit_positions(
+                self.seed, self.simhash_bands, self.simhash_bits_per_band
+            )
+        return self._cache["pos"]
+
+    @property
+    def minhash_a(self) -> np.ndarray:
+        if "mh" not in self._cache:
+            self._cache["mh"] = _minhash_coeffs(self.seed + 1, self.num_perm)
+        return self._cache["mh"][0]
+
+    @property
+    def minhash_b(self) -> np.ndarray:
+        if "mh" not in self._cache:
+            self._cache["mh"] = _minhash_coeffs(self.seed + 1, self.num_perm)
+        return self._cache["mh"][1]
+
+    def __post_init__(self):
+        assert self.minhash_bands * self.minhash_rows == self.num_perm, (
+            "num_perm must equal minhash_bands * minhash_rows"
+        )
+
+
+DEFAULT_CONFIG = PipelineConfig()

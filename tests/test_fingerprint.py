@@ -1,0 +1,81 @@
+"""Unit tests for MinHash / SimHash / band-key kernels (no Ray needed)."""
+
+import numpy as np
+
+from consult_ray.config import PipelineConfig
+from consult_ray.functions.fingerprint import (
+    minhash_band_keys,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    simhash_band_keys,
+    simhash_signatures,
+)
+from consult_ray.functions.hashing import popcount64, rolling_shingle_hashes, segment_offsets
+
+CFG = PipelineConfig()
+
+
+def _fingerprint(docs: list[bytes], cfg=CFG):
+    concat = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    offsets = np.cumsum([0] + [len(d) for d in docs]).astype(np.int64)
+    hashes, doc_ids = rolling_shingle_hashes(concat, offsets, cfg.shingle_k)
+    starts = segment_offsets(doc_ids, len(docs))
+    mh = minhash_signatures(hashes, starts, cfg)
+    sh = simhash_signatures(hashes, starts)
+    return mh, sh
+
+
+def test_identical_docs_identical_fingerprints():
+    base = b"word soup " * 40
+    mh, sh = _fingerprint([base, base, b"completely different content here! " * 20])
+    assert np.array_equal(mh[0], mh[1])
+    assert sh[0] == sh[1]
+    assert not np.array_equal(mh[0], mh[2])
+
+
+def test_minhash_jaccard_tracks_true_jaccard():
+    rng = np.random.default_rng(7)
+    words = [f"w{i:03d}" for i in range(200)]
+    a_words = list(rng.choice(words, 150, replace=False))
+    # b shares 90% of a's words
+    b_words = a_words[:135] + [w + "x" for w in a_words[135:]]
+    a = (" ".join(a_words)).encode()
+    b = (" ".join(b_words)).encode()
+    mh, _ = _fingerprint([a, b])
+    est = minhash_jaccard_estimate(mh[:1], mh[1:])[0]
+    # true shingle-level jaccard is high but not 1; estimate within 0.15
+    assert 0.45 < est < 1.0
+
+
+def test_simhash_hamming_small_for_near_dups():
+    base = (" ".join(f"token{i}" for i in range(300))).encode()
+    # 3-token edit
+    near = base.replace(b"token42 ", b"tokenXX ").replace(b"token99 ", b"tokenYY ")
+    far = (" ".join(f"other{i}" for i in range(300))).encode()
+    _, sh = _fingerprint([base, near, far])
+    d_near = popcount64(np.array([sh[0] ^ sh[1]], dtype=np.uint64))[0]
+    d_far = popcount64(np.array([sh[0] ^ sh[2]], dtype=np.uint64))[0]
+    assert d_near <= 6
+    assert d_far > 15
+
+
+def test_band_keys_shape_and_equality():
+    base = b"abcdefgh " * 50
+    mh, sh = _fingerprint([base, base])
+    sbk = simhash_band_keys(sh, CFG)
+    mbk = minhash_band_keys(mh, CFG)
+    assert sbk.shape == (2, CFG.simhash_bands)
+    assert mbk.shape == (2, CFG.minhash_bands)
+    assert np.array_equal(sbk[0], sbk[1])
+    assert np.array_equal(mbk[0], mbk[1])
+    # band keys from different bands never equal (band-index mixed in)
+    assert len(np.unique(sbk[0])) == CFG.simhash_bands
+
+
+def test_band_positions_fixed_by_seed():
+    c1, c2 = PipelineConfig(), PipelineConfig()
+    assert np.array_equal(c1.band_positions, c2.band_positions)
+    assert c1.band_positions.shape == (c1.simhash_bands, c1.simhash_bits_per_band)
+    # positions sorted descending per band, mirroring main_map.cpp:406
+    for row in c1.band_positions:
+        assert list(row) == sorted(row, reverse=True)

@@ -1,0 +1,87 @@
+"""Unit tests for the vectorized hashing kernels (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from consult_ray.functions.hashing import (
+    ROLL_BASE,
+    popcount64,
+    rolling_shingle_hashes,
+    segment_offsets,
+    splitmix64,
+)
+
+
+def _naive_window_hashes(data: bytes, k: int) -> list[int]:
+    """Reference polynomial hash: h = sum(byte_j * BASE^(k-1-j)) mod 2^64,
+    SplitMix64-finalized — what rolling_shingle_hashes must reproduce."""
+    base = int(ROLL_BASE)
+    out = []
+    for p in range(len(data) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * base + data[p + j]) % 2**64
+        out.append(int(splitmix64(np.uint64(h))[()]))
+    return out
+
+
+def _pack(docs: list[bytes]):
+    concat = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    offsets = np.cumsum([0] + [len(d) for d in docs]).astype(np.int64)
+    return concat, offsets
+
+
+def test_rolling_matches_naive():
+    docs = [b"the quick brown fox jumps over the lazy dog", b"hello world, hashing!"]
+    k = 8
+    concat, offsets = _pack(docs)
+    hashes, doc_ids = rolling_shingle_hashes(concat, offsets, k)
+    for i, d in enumerate(docs):
+        got = hashes[doc_ids == i].tolist()
+        assert got == _naive_window_hashes(d, k)
+
+
+def test_no_cross_doc_windows():
+    docs = [b"aaaaaaaaaa", b"bbbbbbbbbb"]
+    k = 4
+    concat, offsets = _pack(docs)
+    hashes, doc_ids = rolling_shingle_hashes(concat, offsets, k)
+    # each doc yields len-k+1 windows, none spanning the boundary
+    assert (doc_ids == 0).sum() == 7
+    assert (doc_ids == 1).sum() == 7
+    # all windows within one run of a single char hash identically
+    assert len(set(hashes[doc_ids == 0].tolist())) == 1
+
+
+def test_short_and_empty_docs():
+    docs = [b"tiny", b"", b"exactly8", b"this one is long enough for k=8"]
+    k = 8
+    concat, offsets = _pack(docs)
+    hashes, doc_ids = rolling_shingle_hashes(concat, offsets, k)
+    # every doc contributes >= 1 shingle (whole-doc fallback)
+    assert set(doc_ids.tolist()) == {0, 1, 2, 3}
+    starts = segment_offsets(doc_ids, len(docs))
+    assert starts.tolist() == [0, 1, 2, 3]
+    # identical short docs hash identically across batches
+    h2, _ = rolling_shingle_hashes(*_pack([b"tiny"]), k)
+    assert hashes[0] == h2[0]
+
+
+def test_exact_k_doc_uses_rolling_path():
+    # len == k: exactly one window; must match the naive hash
+    d = b"exactlyk"
+    concat, offsets = _pack([d])
+    hashes, doc_ids = rolling_shingle_hashes(concat, offsets, 8)
+    assert hashes.tolist() == _naive_window_hashes(d, 8)
+
+
+def test_popcount64():
+    x = np.array([0, 1, 3, 2**64 - 1, 2**63], dtype=np.uint64)
+    assert popcount64(x).tolist() == [0, 1, 2, 64, 1]
+
+
+def test_splitmix_deterministic_and_mixing():
+    a = splitmix64(np.arange(1000, dtype=np.uint64))
+    b = splitmix64(np.arange(1000, dtype=np.uint64))
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == 1000
