@@ -1,0 +1,168 @@
+"""Connected components over dup edges -> cluster labels.
+
+The reference stops at per-read membership (anti-join classification,
+/root/reference/main_search.cpp:1021-1045); clustering is the north_rule
+addition. Cluster id = MIN doc_id in the component, so labels are
+deterministic, order-free, and idempotent across retries (SURVEY §2.9).
+
+Two exact paths:
+  * distributed: iterative min-label propagation — per round, two
+    hash-joins attach current labels to edge endpoints, each edge sends
+    min(label_a, label_b) to both endpoints, and a groupby-min folds
+    messages into new labels. Labels only ever decrease, so sum(label)
+    is a strictly-decreasing convergence witness; rounds ~ graph
+    diameter (dup clusters are near-cliques, so 2-4 rounds). This is the
+    label-exchange half of BTS (PAPERS.md, ICDE 2024) with plain
+    Dataset primitives.
+  * driver: exact union-find when the verified edge set is small
+    (edges fit comfortably on the driver); the default auto mode picks
+    it below `driver_edge_limit` edges. The distributed path is the
+    10^12-doc plan — per-round state is one row per non-singleton node.
+
+Singleton docs never enter the propagation: labels are computed over
+edge endpoints only, then left-outer joined back onto the full doc set
+(missing -> own id). At web scale non-singleton nodes are a small
+fraction of docs, which keeps every CC round's shuffle proportional to
+the dup graph, not the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+from consult_ray.config import PipelineConfig
+from consult_ray.util import resolve_join_partitions
+from consult_ray.state.unionfind import unionfind_labels
+
+DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def _edge_nodes(edges: Dataset) -> Dataset:
+    """Distinct endpoint nodes with initial label = node id."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False),
+                    batch["b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+
+    return (
+        edges.map_batches(emit, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+
+
+def _propagate_round(edges: Dataset, labels: Dataset, num_partitions: int) -> Dataset:
+    withA = edges.join(
+        labels, "inner", num_partitions, on=("a",), right_on=("node",)
+    )  # a, b, label(=label_a)
+    withA = withA.rename_columns({"label": "label_a"})
+    withAB = withA.join(
+        labels, "inner", num_partitions, on=("b",), right_on=("node",)
+    )  # a, b, label_a, label(=label_b)
+
+    def msgs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        la = batch["label_a"].to_numpy(zero_copy_only=False)
+        lb = batch["label"].to_numpy(zero_copy_only=False)
+        m = np.minimum(la, lb)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "label": pa.array(np.concatenate([m, m])),
+            }
+        )
+
+    messages = withAB.map_batches(msgs, batch_format="pyarrow")
+    return (
+        labels.union(messages)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+
+
+def connected_components_distributed(
+    edges: Dataset, cfg: PipelineConfig
+) -> Dataset:
+    """(a, b) edges -> (node, label) via min-label propagation."""
+    labels = _edge_nodes(edges).materialize()
+    edges = edges.select_columns(["a", "b"]).materialize()
+    prev_sum = None
+    for _ in range(cfg.cc_max_iters):
+        labels = _propagate_round(edges, labels, resolve_join_partitions(cfg)).materialize()
+        row = labels.aggregate(Sum("label", alias_name="s"))
+        cur = row["s"] if isinstance(row, dict) else row
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def connected_components_driver(edges: Dataset) -> Dataset:
+    """Exact union-find on the driver (small edge sets / test oracle)."""
+    parts = list(
+        edges.select_columns(["a", "b"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    tbl = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    labels = unionfind_labels(
+        tbl["a"].to_numpy(zero_copy_only=False), tbl["b"].to_numpy(zero_copy_only=False)
+    )
+    if not labels:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+    nodes = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+    labs = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+    order = np.argsort(nodes)
+    return rd.from_arrow(pa.table({"node": pa.array(nodes[order]), "label": pa.array(labs[order])}))
+
+
+def connected_components(
+    edges: Dataset, cfg: PipelineConfig, mode: str = "auto"
+) -> Dataset:
+    """(node, label) for every node appearing in an edge.
+
+    mode: "auto" (driver below DRIVER_EDGE_LIMIT edges), "driver",
+    "distributed".
+    """
+    if mode == "auto":
+        mode = "driver" if edges.count() <= DRIVER_EDGE_LIMIT else "distributed"
+    if mode == "driver":
+        return connected_components_driver(edges)
+    return connected_components_distributed(edges, cfg)
+
+
+def assign_clusters(
+    docs: Dataset, labels: Dataset, cfg: PipelineConfig, id_col: str = "doc_id"
+) -> Dataset:
+    """(doc_id, cluster_id): component label where present, own id for
+    singletons. Left-outer hash join + vectorized coalesce."""
+    ids = docs.select_columns([id_col])
+    joined = ids.join(
+        labels, "left_outer", resolve_join_partitions(cfg), on=(id_col,), right_on=("node",)
+    )
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        lab = pc.coalesce(batch["label"].cast(pa.int64()), batch[id_col].cast(pa.int64()))
+        return pa.table({id_col: batch[id_col], "cluster_id": lab})
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")

@@ -1,0 +1,229 @@
+"""The flagship near-dup pipeline: fingerprints -> band rows -> skew
+census + cap -> band-key self-join -> hamming verify -> dup edges.
+
+Physical plan (Ray-Data-first, one all-to-all for the whole candidate +
+verify path):
+
+    read -> map_batches(fingerprint)            stateless, zero-copy Arrow
+         -> map_batches(band expand)            ~L+b rows/doc, 40 B/row
+         -> [census: partial counts -> groupby.sum]   tiny pre-aggregated shuffle
+         -> [cap hot keys at C=28, log drops]   CONSULT's bucket cap,
+                                                /root/reference/main_map.cpp:592
+         -> join(self, on=band_key)             THE shuffle (hash-partitioned)
+         -> filter a<b, popcount(x^y)<=p        vectorized verify, analog of
+                                                hd() /root/reference/main_search.cpp:1238-1259
+
+Design notes for 100 TB:
+  * band rows carry (band_key, doc_id, simhash) only — 40 bytes — html/text
+    never enters a shuffle (SURVEY §7 hard part f).
+  * the census is pre-aggregated inside map_batches before its groupby, so
+    the skew-detection shuffle moves one row per distinct key per block,
+    not one per band row (A3 analog, /root/reference/main_map.cpp:1167-1197).
+  * hot keys (> bucket_cap members) are capped to the C smallest doc_ids —
+    deterministic, and the analog of CONSULT's silent first-28 policy
+    except drops are COUNTED and reported via lineage.
+  * duplicate edges from multiple colliding bands are NOT deduplicated
+    here: connected components is insensitive to edge multiplicity, and a
+    pair-level groupby would be a second all-to-all for zero semantic
+    gain at c=1. With collision_threshold c>1 the pair-count groupby runs
+    (A4 analog, /root/reference/main_search.cpp:883-894).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from consult_ray.config import PipelineConfig
+from consult_ray.util import resolve_join_partitions
+from consult_ray.functions.hashing import popcount64
+from consult_ray.stages.bands import make_band_fn
+from consult_ray.stages.fingerprint import make_fingerprint_fn
+
+
+def fingerprints(
+    docs: Dataset,
+    cfg: PipelineConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """docs -> fingerprints (doc_id, simhash, minhash, n_shingles)."""
+    if text_col != "text" or id_col != "doc_id":
+        fn = make_fingerprint_fn(cfg, text_col=text_col, id_col=id_col)
+    else:
+        fn = make_fingerprint_fn(cfg)
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def band_rows(
+    fp: Dataset, cfg: PipelineConfig, kinds: tuple[str, ...] = ("simhash", "minhash")
+) -> Dataset:
+    return fp.map_batches(
+        make_band_fn(cfg, kinds=kinds), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
+def _partial_key_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch pre-aggregation: one (band_key, cnt) row per distinct key."""
+    counts = pc.value_counts(batch["band_key"])
+    return pa.table(
+        {"band_key": counts.field("values"), "cnt": counts.field("counts").cast(pa.int64())}
+    )
+
+
+def band_key_census(bands: Dataset, cfg: PipelineConfig) -> Dataset:
+    """Exact per-key member counts via partial counts -> small groupby.
+    The skew detector (A3 analog)."""
+    partial = bands.map_batches(_partial_key_counts, batch_format="pyarrow")
+    return partial.groupby("band_key").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def hot_band_keys(census: Dataset, cfg: PipelineConfig) -> tuple[set[int], int]:
+    """Keys with more than bucket_cap members, plus total dropped rows.
+    The hot-key set is small by construction (boilerplate-driven), so
+    collecting it to the driver for broadcast is the right plan shape —
+    the 100 TB analog broadcasts it via ray.put to every filter task."""
+    hot = census.filter(expr=f"cnt > {cfg.bucket_cap}")
+    rows = hot.take_all()
+    keys = {r["band_key"] for r in rows}
+    dropped = sum(r["cnt"] - cfg.bucket_cap for r in rows)
+    return keys, int(dropped)
+
+
+def cap_hot_buckets(bands: Dataset, cfg: PipelineConfig, hot_keys: set[int]) -> Dataset:
+    """Keep only the bucket_cap smallest doc_ids within each hot band key
+    (deterministic cap; CONSULT keeps the FIRST 28 of stream order at
+    main_map.cpp:592 — min-doc_id is the order-free equivalent)."""
+    if not hot_keys:
+        return bands
+    import ray
+
+    hot_ref = ray.put(np.fromiter(hot_keys, dtype=np.int64))
+
+    def split_cold(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hot = _ray.get(hot_ref)
+        mask = np.isin(batch["band_key"].to_numpy(zero_copy_only=False), hot)
+        return batch.filter(pa.array(~mask))
+
+    def split_hot(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hot = _ray.get(hot_ref)
+        mask = np.isin(batch["band_key"].to_numpy(zero_copy_only=False), hot)
+        return batch.filter(pa.array(mask))
+
+    cold = bands.map_batches(split_cold, batch_format="pyarrow")
+
+    def cap_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(order[: cfg.bucket_cap])
+
+    capped_hot = (
+        bands.map_batches(split_hot, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(cap_group, batch_format="pyarrow")
+    )
+    return cold.union(capped_hot)
+
+
+def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
+    """Band rows -> verified dup edges (a, b, hamming), a < b.
+
+    Single hash-partitioned self-join on band_key generates all
+    intra-bucket pairs; the simhash rides on both sides so verification
+    is a vectorized popcount with no further join.
+    """
+    joined = bands.join(
+        bands,
+        join_type="inner",
+        num_partitions=resolve_join_partitions(cfg),
+        on=("band_key",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    p = cfg.hamming_budget
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_l"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_r"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        a, b = a[keep], b[keep]
+        sa = batch["simhash_l"].to_numpy(zero_copy_only=False)[keep].view(np.uint64)
+        sb = batch["simhash_r"].to_numpy(zero_copy_only=False)[keep].view(np.uint64)
+        ham = popcount64(sa ^ sb)
+        ok = ham <= p
+        return pa.table(
+            {
+                "a": pa.array(a[ok]),
+                "b": pa.array(b[ok]),
+                "hamming": pa.array(ham[ok].astype(np.int8)),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def pair_count_threshold(edges: Dataset, cfg: PipelineConfig) -> Dataset:
+    """Keep pairs seen in >= c distinct band collisions (A4 analog,
+    /root/reference/main_search.cpp:883-894). Identity at c=1 — the
+    pair-key groupby (a second all-to-all) only runs when c > 1."""
+    if cfg.collision_threshold <= 1:
+        return edges
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            n=("hamming", "size"), hamming=("hamming", "min")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Min
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+    counted = partials.groupby(["a", "b"]).aggregate(
+        Sum("n", alias_name="n"), Min("hamming", alias_name="hamming")
+    )
+    return counted.filter(expr=f"n >= {cfg.collision_threshold}").select_columns(
+        ["a", "b", "hamming"]
+    )
+
+
+def dup_edges(
+    docs: Dataset,
+    cfg: PipelineConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: tuple[str, ...] = ("simhash", "minhash"),
+    census: bool = True,
+) -> tuple[Dataset, dict]:
+    """End-to-end: documents -> verified dup edges. Returns (edges, stats).
+
+    `bands` is materialized before the self-join: the join consumes it
+    twice, and re-running fingerprinting twice would double the dominant
+    compute. In the checkpointed pipeline (pipelines.checkpointed) this
+    materialization is a parquet stage boundary instead.
+    """
+    fp = fingerprints(docs, cfg, text_col=text_col, id_col=id_col)
+    bands = band_rows(fp, cfg, kinds=kinds).materialize()
+    stats: dict = {"dropped_band_rows": 0, "hot_keys": 0}
+    if census:
+        cens = band_key_census(bands, cfg)
+        hot, dropped = hot_band_keys(cens, cfg)
+        stats["dropped_band_rows"] = dropped
+        stats["hot_keys"] = len(hot)
+        bands = cap_hot_buckets(bands, cfg, hot).materialize()
+    edges = candidate_edges(bands, cfg)
+    edges = pair_count_threshold(edges, cfg)
+    return edges, stats

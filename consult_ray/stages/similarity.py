@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (list<float>).
+
+Brute-force cosine top-k as the exact baseline — per-batch numpy matmul
+against a driver-broadcast query matrix (ray.put once, ray.get in each
+task; never re-shipped per batch) — plus an LSH-bucketed variant
+(random-hyperplane SimHash of embeddings) as the scale path: candidates
+only within matching sign-buckets, the embedding-space twin of the text
+band tables.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from consult_ray.config import PipelineConfig
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens = np.asarray(arr.value_lengths())
+    dim = int(lens[0]) if len(lens) else 0
+    assert dim and (lens == dim).all(), "ragged embedding column"
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(-1, dim)
+
+
+def brute_force_topk(
+    embeddings: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: frozenset[int] = frozenset(),
+) -> pa.Table:
+    """Exact cosine top-k of one query vector against a Dataset.
+
+    Per-batch: normalized dot product (numpy, float64) -> per-batch local
+    top-k -> tiny global heap merge on the driver. The full dataset
+    streams; only k rows per batch reach the driver.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _embedding_matrix(batch, vec_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if exclude_ids:
+            keep = ~np.isin(ids, np.fromiter(exclude_ids, dtype=ids.dtype))
+            ids, sims = ids[keep], sims[keep]
+        top = np.argsort(-sims, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[top]), "cos_sim": pa.array(sims[top])})
+
+    partials = embeddings.map_batches(score, batch_format="pyarrow")
+    rows = partials.take_all()
+    best = heapq.nsmallest(k, rows, key=lambda r: (-r["cos_sim"], r[id_col]))
+    return pa.table(
+        {
+            id_col: pa.array([r[id_col] for r in best], pa.int64()),
+            "cos_sim": pa.array([r["cos_sim"] for r in best], pa.float64()),
+        }
+    )
+
+
+def add_hyperplane_buckets(
+    embeddings: Dataset,
+    cfg: PipelineConfig,
+    n_planes: int = 16,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """ANN scale path: random-hyperplane signature -> int64 bucket column.
+
+    Vectors whose signs agree on all n_planes hyperplanes share a bucket;
+    search probes only the query's bucket (optionally multi-probe by
+    flipping low-margin bits). Seeded by cfg.seed — deterministic."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, vec_col)
+        rng = np.random.default_rng(cfg.seed + 77)
+        planes = rng.standard_normal((m.shape[1], n_planes))
+        signs = (m @ planes) >= 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        bucket = (signs.astype(np.int64) * weights).sum(axis=1)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    return embeddings.map_batches(bucketize, batch_format="pyarrow")
+
+
+def lsh_topk(
+    embeddings_bucketed: Dataset,
+    query: np.ndarray,
+    cfg: PipelineConfig,
+    k: int = 10,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k: score only rows in the query's hyperplane bucket."""
+    q = np.asarray(query, dtype=np.float64)
+    rng = np.random.default_rng(cfg.seed + 77)
+    planes = rng.standard_normal((len(q), n_planes))
+    signs = (q @ planes) >= 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    qbucket = int((signs.astype(np.int64) * weights).sum())
+    cand = embeddings_bucketed.filter(expr=f"bucket == {qbucket}")
+    return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)

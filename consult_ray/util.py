@@ -1,0 +1,33 @@
+"""Small execution helpers shared by pipelines."""
+
+from __future__ import annotations
+
+import ray
+
+from consult_ray.config import PipelineConfig
+
+
+def cluster_cpus() -> int:
+    """Total CPUs of the current Ray cluster (>=1). Works before/after
+    ray.init — Ray Data auto-inits on first use anyway."""
+    try:
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", 1)))
+    except Exception:
+        pass
+    import os
+
+    return max(1, os.cpu_count() or 1)
+
+
+def resolve_join_partitions(cfg: PipelineConfig) -> int:
+    """Hash-shuffle partition count that cannot deadlock the cluster.
+
+    Ray's hash-shuffle aggregator pool reserves ~num_partitions/8 CPUs up
+    front; a partition count far above the cluster CPU count stalls the
+    join behind resource contention (observed: num_partitions=32 on a
+    4-CPU cluster never schedules). Cap the configured value at the
+    cluster CPU count — on a 256-node cluster the cap is the configured
+    value, on a laptop it is the laptop.
+    """
+    return max(2, min(cfg.join_partitions, cluster_cpus()))

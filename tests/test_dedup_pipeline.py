@@ -1,0 +1,125 @@
+"""End-to-end dedup pipeline correctness: recall + cluster assignments vs
+a brute-force oracle at the same signature config (the BASELINE.md gate:
+dup-pair recall >= 0.99, matching cluster assignments)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from consult_ray.config import PipelineConfig
+from consult_ray.functions.hashing import popcount64
+from consult_ray.pipelines.cluster import assign_clusters, connected_components
+from consult_ray.pipelines.dedup import dup_edges, fingerprints
+from consult_ray.sources.synth import make_pages_corpus
+from consult_ray.state.unionfind import UnionFind
+
+CFG = PipelineConfig()
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    c = make_pages_corpus(N_DOCS, seed=42)
+    docs = c.pages.append_column("doc_id", pa.array(np.arange(c.pages.num_rows)))
+    return docs, c.truth
+
+
+def _oracle_edges(docs: pa.Table, cfg: PipelineConfig) -> set[tuple[int, int]]:
+    """Brute-force all-pairs at the SAME config: dup iff
+    popcount(simhash_a ^ simhash_b) <= p — the reference predicate
+    (hd <= p, /root/reference/main_search.cpp:1238-1259) over our
+    fingerprints."""
+    import ray
+
+    fp = fingerprints(rd.from_arrow(docs), cfg).to_pandas()
+    fp = fp.sort_values("doc_id")
+    sims = fp["simhash"].to_numpy().view(np.uint64)
+    ids = fp["doc_id"].to_numpy()
+    n = len(ids)
+    edges = set()
+    for i in range(n):
+        ham = popcount64(sims[i] ^ sims[i + 1 :])
+        for j in np.nonzero(ham <= cfg.hamming_budget)[0]:
+            edges.add((int(ids[i]), int(ids[i + 1 + j])))
+    return edges
+
+
+def _oracle_clusters(n: int, edges: set[tuple[int, int]]) -> dict[int, int]:
+    uf = UnionFind()
+    for i in range(n):
+        uf.add(i)
+    for a, b in edges:
+        uf.union(a, b)
+    return uf.components()
+
+
+def test_dedup_recall_and_clusters(corpus):
+    docs_tbl, truth = corpus
+    docs = rd.from_arrow(docs_tbl)
+
+    edges_ds, stats = dup_edges(docs, CFG)
+    got_edges = {
+        (r["a"], r["b"]) for r in edges_ds.select_columns(["a", "b"]).take_all()
+    }
+
+    oracle = _oracle_edges(docs_tbl, CFG)
+    assert oracle, "oracle found no dup pairs — corpus generator broken"
+
+    missed = oracle - got_edges
+    recall = 1 - len(missed) / len(oracle)
+    assert recall >= 0.99, f"recall {recall:.4f}, missed {len(missed)}/{len(oracle)}"
+
+    # no false positives: every emitted edge satisfies the predicate
+    assert got_edges <= oracle, f"false edges: {list(got_edges - oracle)[:5]}"
+
+    # cluster assignments match the oracle's union-find exactly when
+    # recall is 1.0 (and must still match on every non-missed component)
+    labels = connected_components(edges_ds, CFG, mode="driver")
+    clusters = assign_clusters(docs, labels, CFG).to_pandas()
+    got = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    want = _oracle_clusters(docs_tbl.num_rows, oracle)
+    if not missed:
+        assert got == want
+
+    # exact duplicates ALWAYS co-cluster (property test, FIXTURES.md)
+    texts = docs_tbl["text"].to_pylist()
+    by_text: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    for ids in by_text.values():
+        if len(ids) > 1:
+            assert len({got[i] for i in ids}) == 1
+
+
+def test_distributed_cc_matches_driver(corpus, ray_session):
+    docs_tbl, _ = corpus
+    docs = rd.from_arrow(docs_tbl)
+    edges_ds, _ = dup_edges(docs, CFG)
+    edges_ds = edges_ds.materialize()
+    drv = connected_components(edges_ds, CFG, mode="driver").to_pandas()
+    dist = connected_components(edges_ds, CFG, mode="distributed").to_pandas()
+    a = dict(zip(drv["node"], drv["label"]))
+    b = dict(zip(dist["node"], dist["label"]))
+    assert a == b
+
+
+def test_census_caps_hot_boilerplate_keys(ray_session):
+    """A corpus of near-identical docs produces a hot band key; the census
+    must find it and the cap must bound pair generation."""
+    base = "boilerplate " * 100
+    texts = [base + f"tail{i}" for i in range(120)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(120)), "text": pa.array(texts)})
+    cfg = PipelineConfig()
+    edges, stats = dup_edges(rd.from_arrow(tbl), cfg)
+    n = edges.count()
+    assert stats["hot_keys"] > 0
+    assert stats["dropped_band_rows"] > 0
+    # capping must strictly reduce pair generation vs the uncapped run
+    edges_uncapped, _ = dup_edges(rd.from_arrow(tbl), cfg, census=False)
+    n_uncapped = edges_uncapped.count()
+    assert n < n_uncapped
+    # a fully-hot band family contributes at most C*(C-1)/2 pairs per key;
+    # the uncapped one contributes up to 120*119/2 = 7140
+    assert n_uncapped > 7000
