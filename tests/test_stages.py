@@ -1,0 +1,201 @@
+"""Stage-level tests: text analysis, substring dedup, similarity,
+multimodal plumbing, stateful lookup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from consult_ray.config import PipelineConfig
+from consult_ray.sources.synth import make_pages_corpus
+from consult_ray.stages.multimodal import (
+    DeterministicFakeDecoder,
+    LibraryDecoder,
+    make_fake_media_table,
+    recommended_batch_size,
+)
+from consult_ray.stages.similarity import add_hyperplane_buckets, brute_force_topk, lsh_topk
+from consult_ray.stages.substring import substring_dedup_in_clusters, substring_pairs_table
+from consult_ray.stages.text import (
+    LangIdStage,
+    doc_fingerprint_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+CFG = PipelineConfig()
+
+
+# --- text analysis ---------------------------------------------------
+
+def test_token_count_matches_split_semantics():
+    b = pa.table({"text": ["a b c", "one", "x  y"]})  # double space -> empty token
+    out = token_count_batch(b)
+    assert out["n_tokens"].to_pylist() == [3, 1, 3]
+    assert out["n_chars2"].to_pylist() == [5, 3, 4]
+
+
+def test_quality_score_ranges():
+    b = pa.table({"text": ["the cat and the dog sat on the mat", "!!!??!!..,,", "worda " * 50]})
+    out = quality_score_batch(b)
+    s = out["quality_score"].to_pylist()
+    assert all(0 <= x <= 1 for x in s)
+    assert s[0] > s[1]  # english-ish beats punctuation soup
+    assert out["stop_ratio"].to_pylist()[0] > 0.3
+
+
+def test_lang_id_heuristic():
+    stage = LangIdStage()
+    b = pa.table(
+        {
+            "text": [
+                "the quick brown fox jumps over the lazy dog and the cat is on the mat",
+                "der schnelle braune fuchs springt über den faulen hund und die katze",
+                "le renard brun rapide saute par dessus le chien paresseux dans la maison",
+                "",
+            ]
+        }
+    )
+    out = stage(b)["lang_pred"].to_pylist()
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_doc_fingerprint_deterministic():
+    b = pa.table({"text": ["hello world", "hello world", "bye"]})
+    h = doc_fingerprint_batch(b)["content_hash"].to_pylist()
+    assert h[0] == h[1] != h[2]
+
+
+# --- substring stage -------------------------------------------------
+
+def test_substring_pairs_table_matches_sql_semantics():
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["abcdef", "cde", "abcdef", "zzz"],
+        }
+    )
+    pairs = substring_pairs_table(docs)
+    got = set(zip(pairs["inner_id"].to_pylist(), pairs["outer_id"].to_pylist()))
+    # 2 in 1, 2 in 3; equal texts 1<->3 both directions
+    assert got == {(2, 1), (2, 3), (1, 3), (3, 1)}
+
+
+def test_substring_dedup_in_clusters(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "cluster_id": [0, 0, 0, 3, 3],
+            "text": [
+                "the full long document text",
+                "standalone variant text",      # not contained anywhere
+                "the full long document text",  # exact dup of 0
+                "other cluster",
+                "other",                         # substring of doc 3, same cluster
+            ],
+        }
+    )
+    out = (
+        substring_dedup_in_clusters(rd.from_pandas(df), CFG)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    dropped = dict(zip(out.doc_id, out.substring_dropped))
+    assert not dropped[0]   # representative of the exact-dup pair (min id)
+    assert not dropped[1]
+    assert dropped[2]       # exact dup of 0, higher id -> dropped
+    assert not dropped[3]
+    assert dropped[4]       # contained in doc 3 within cluster 3
+
+
+# --- similarity ------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), 16),
+        }
+    )
+    return rd.from_arrow(tbl), m
+
+
+def test_brute_force_topk_exact(emb_ds):
+    ds, m = emb_ds
+    q = m[7].astype(np.float64)
+    got = brute_force_topk(ds, q, k=5)
+    sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+    want = np.argsort(-sims, kind="stable")[:5]
+    assert got["vec_id"].to_pylist() == want.tolist()
+    assert got["vec_id"].to_pylist()[0] == 7  # itself first
+
+
+def test_lsh_topk_contains_query_bucket(emb_ds):
+    ds, m = emb_ds
+    bucketed = add_hyperplane_buckets(ds, CFG, n_planes=6)
+    got = lsh_topk(bucketed, m[3].astype(np.float64), CFG, k=3, n_planes=6)
+    # approximate: the query itself must be in its own bucket -> rank 1
+    assert got["vec_id"].to_pylist()[0] == 3
+
+
+# --- multimodal plumbing --------------------------------------------
+
+def test_fake_decoder_plumbing(ray_session):
+    tbl = make_fake_media_table(40)
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(
+        DeterministicFakeDecoder,
+        fn_constructor_kwargs=dict(dim=8),
+        batch_format="pyarrow",
+        batch_size=recommended_batch_size(1024),
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 40
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic: same payload -> same features
+    d = DeterministicFakeDecoder(dim=8)
+    f1 = d(tbl.slice(0, 4))["features"].to_pylist()
+    f2 = d(tbl.slice(0, 4))["features"].to_pylist()
+    assert f1 == f2
+
+
+def test_library_decoder_stub_gated():
+    with pytest.raises(NotImplementedError):
+        LibraryDecoder("image")
+
+
+# --- stateful lookup -------------------------------------------------
+
+def test_band_lookup_semi_anti(ray_session):
+    from consult_ray.state.lookup import classify_queries
+
+    c = make_pages_corpus(120, seed=42)
+    docs = c.pages.append_column("doc_id", pa.array(np.arange(c.pages.num_rows)))
+    corpus = rd.from_arrow(docs.slice(0, 80))
+    dup_q = docs.slice(0, 10).select(["text"]).append_column(
+        "doc_id", pa.array(np.arange(500, 510))
+    )
+    fresh = pa.table(
+        {
+            "text": pa.array(
+                ["fresh never seen doc %d %s" % (i, " ".join(f"q{i}x{j}" for j in range(60))) for i in range(5)]
+            ),
+            "doc_id": pa.array(np.arange(900, 905)),
+        }
+    )
+    queries = rd.from_arrow(
+        pa.concat_tables([dup_q.select(["doc_id", "text"]), fresh.select(["doc_id", "text"])])
+    )
+    out = classify_queries(queries, corpus, CFG, concurrency=2).to_pandas()
+    assert out[out.doc_id < 900].matched.all()
+    assert not out[out.doc_id >= 900].matched.any()
+    # match_doc points at a real corpus doc
+    assert (out[out.doc_id < 900].match_doc >= 0).all()
