@@ -3,14 +3,11 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in consult_ray) calls ray.init()/ray.shutdown(); only
+bench.py, CLI entry points and the test fixture own a Ray session.
 """
 
 from __future__ import annotations
@@ -20,25 +17,37 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full near-dup dedup
+    (fingerprint -> LSH bands -> census/cap -> band-key self-join ->
+    hamming verify -> connected components) over the documents table.
+    Returns the clusters Dataset (doc_id, cluster_id)."""
+    import ray.data as rd
+
+    from consult_ray.config import PipelineConfig
+    from consult_ray.pipelines.cluster import assign_clusters, connected_components
+    from consult_ray.pipelines.dedup import dup_edges
+
+    cfg = PipelineConfig()
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    edges, _stats = dup_edges(docs, cfg)
+    labels = connected_components(edges, cfg)
+    return assign_clusters(docs, labels, cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY §2.
+    See consult_ray/pipelines/queries.py for the implementations."""
+    from consult_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for the SQL-expressible queries; LSH/clustering/
+    actor-pool outputs are non-SQL-expressible and get the driver's
+    rows-only check (their exact oracles live in tests/ as brute-force
+    pytest checks)."""
+    from consult_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

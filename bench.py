@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+Headline: the flagship near-dup pipeline (fingerprint -> bands ->
+census/cap -> band-key self-join -> hamming verify -> connected
+components -> cluster assignment) over $GRAFT_SF_DIR/documents.parquet.
+
+--scaling: runs the same bench twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and 32 on identical input and reports both throughputs
+plus efficiency = (t8/t32)/(32/8) — the sandbox substitute for the
+north_rule's N vs 4N node cluster comparison (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_bench() -> None:
+    import ray
+    import ray.data as rd
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from consult_ray.config import PipelineConfig
+    from consult_ray.pipelines.cluster import assign_clusters, connected_components
+    from consult_ray.pipelines.dedup import dup_edges
+    from consult_ray.pipelines.queries import QUERIES
+    from consult_ray.sources.benchgen import expand_documents
+
+    cfg = PipelineConfig(join_partitions=num_cpus)
+
+    # headline input: the sf documents table expanded deterministically to
+    # a size where compute, not fixed overhead, dominates (the sf table
+    # alone is 5k rows at sf0.1 — minutes of nothing). Cached on disk and
+    # shared byte-identical by both --scaling runs.
+    expand = int(os.environ.get("GRAFT_BENCH_EXPAND", "80"))
+    cache = f"/tmp/consult_ray_bench/{os.path.basename(sf_dir.rstrip('/'))}-x{expand}"
+    pages_dir = expand_documents(sf_dir, expand, cache)
+    # warm the OS page cache so we measure compute + shuffle, not cold reads
+    n_docs = rd.read_parquet(pages_dir, columns=["doc_id"]).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    docs = rd.read_parquet(pages_dir, columns=["doc_id", "text"])
+    edges, _stats = dup_edges(docs, cfg)
+    labels = connected_components(edges, cfg)
+    clusters = assign_clusters(docs, labels, cfg)
+    n_clustered = clusters.count()
+    headline = time.time() - t0
+    timings["dedup_pipeline"] = round(headline, 3)
+    assert n_clustered == n_docs
+
+    for name in ["lineitem_pricing", "events_hourly", "user_activity_skew",
+                 "exact_dedup_reps", "knn_cosine", "token_stats"]:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "dedup_pipeline_seconds_sf_documents",
+        "value": timings["dedup_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": int(n_docs),
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def _run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _run_scaling()
+    else:
+        _run_bench()

@@ -51,38 +51,23 @@ def minhash_signatures(
 
 def simhash_signatures(hashes: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """(n_docs,) uint64 SimHash: bit j set iff >= half the doc's shingle
-    hashes have bit j set (ties round up, deterministically)."""
-    n_docs = len(starts)
-    out = np.zeros(n_docs, dtype=np.uint64)
-    if n_docs == 0 or len(hashes) == 0:
-        return out
-    n = len(hashes)
-    ends = np.append(starts[1:], n)
-    counts = np.zeros((n_docs, 64), dtype=np.int64)
-    # chunk the bit unpack to bound memory; chunks are aligned to doc
-    # boundaries so reduceat segments never split
-    chunk_doc_start = 0
-    while chunk_doc_start < n_docs:
-        chunk_doc_end = chunk_doc_start
-        lo = int(starts[chunk_doc_start])
-        hi = lo
-        while chunk_doc_end < n_docs and (hi - lo) < _SIMHASH_CHUNK:
-            hi = int(ends[chunk_doc_end])
-            chunk_doc_end += 1
-        seg = hashes[lo:hi]
-        bits = np.unpackbits(
-            seg.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        )  # (m, 64), bit j of word -> column j
-        seg_starts = (starts[chunk_doc_start:chunk_doc_end] - lo).astype(np.int64)
-        counts[chunk_doc_start:chunk_doc_end] = np.add.reduceat(
-            bits.astype(np.int64), seg_starts, axis=0
-        )
-        chunk_doc_start = chunk_doc_end
+    hashes have bit j set (ties round up, deterministically).
 
-    seg_lens = (ends - starts).astype(np.int64)
-    majority = (counts * 2) >= seg_lens[:, None]  # (n_docs, 64) bool
-    weights = (U64(1) << np.arange(64, dtype=np.uint64))
-    out = (majority.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    64 one-dimensional segmented reductions (shift+mask+reduceat per bit)
+    — an order of magnitude faster than unpacking to a (m, 64) bit matrix
+    and reducing along axis 0, which hits numpy's slow strided reduceat."""
+    n_docs = len(starts)
+    if n_docs == 0 or len(hashes) == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    n = len(hashes)
+    seg_lens = np.diff(np.append(starts, n)).astype(np.int64)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    one = U64(1)
+    for j in range(64):
+        bitj = (hashes >> U64(j)) & one          # uint64 0/1 per shingle
+        cnt = np.add.reduceat(bitj, starts)       # per-doc popcount of bit j
+        majority = (cnt.astype(np.int64) * 2) >= seg_lens
+        out |= majority.astype(np.uint64) << U64(j)
     return out
 
 

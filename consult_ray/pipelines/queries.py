@@ -1,0 +1,405 @@
+"""Query registry backing __ray_entry__.py: one entry per implemented
+operator/pipeline (SURVEY §2), each a callable(sf_dir) returning a
+Dataset / pandas DataFrame / pyarrow Table, with an ANSI-SQL DuckDB
+oracle where the semantics are SQL-expressible.
+
+Column-name discipline: every computed/aggregate column is named
+IDENTICALLY in the Ray code and the SQL (the driver hash-compares by
+sorted column name). Floats that pass through grouped sums are rounded
+on BOTH sides (half away from zero == duckdb ROUND == pyarrow
+half_towards_infinity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from consult_ray.config import PipelineConfig
+from consult_ray.pipelines import operators as ops
+from consult_ray.pipelines.cluster import assign_clusters, connected_components
+from consult_ray.pipelines.dedup import dup_edges, fingerprints
+from consult_ray.stages.similarity import add_hyperplane_buckets, brute_force_topk, lsh_topk
+from consult_ray.stages.substring import substring_dedup_in_clusters, substring_pairs_table
+from consult_ray.stages.text import (
+    LangIdStage,
+    quality_score_batch,
+    token_count_batch,
+)
+
+CFG = PipelineConfig()
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(tbl: pa.Table, col: str, nd: int) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(
+        i, col, pc.round(tbl[col], ndigits=nd, round_mode="half_towards_infinity")
+    )
+
+
+# ---------------------------------------------------------------------
+# SQL-checked queries
+# ---------------------------------------------------------------------
+
+def q_exact_dedup_reps(sf_dir: str):
+    """Exact dedup groups (D1): representative id + multiplicity per
+    distinct text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ops.exact_dedup_groups(ds)
+    return out.select_columns(["rep_id", "n_dups"])
+
+
+def q_token_stats(sf_dir: str):
+    """Per-doc token/char counts (text analysis op, M5-adjacent)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens", "n_chars2"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_lang_hist(sf_dir: str):
+    """Language histogram with per-batch pre-aggregation (A1/A5 analog)."""
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ops.preagg_group_count(ds, "lang", "n")
+
+
+def q_source_stats(sf_dir: str):
+    """Per-source doc count + total chars (grouped aggregation)."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+def q_filter_en_long(sf_dir: str):
+    """Predicate pushdown read + projection (S1/S4 analog: prune at read)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pc.field("lang") == "en") & (pc.field("n_chars") >= 200),
+    )
+    return ds
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with pre-combined partials."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        df = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["l_quantity"],
+                "sum_disc_price": disc_price,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def final_round(batch: pa.Table) -> pa.Table:
+        batch = _round_col(batch, "sum_qty", 2)
+        return _round_col(batch, "sum_disc_price", 2)
+
+    return agg.map_batches(final_round, batch_format="pyarrow")
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (streaming-shaped
+    workload, SURVEY §2.9)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table(
+            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"],
+             "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(lambda b: _round_col(b, "sum_value", 2), batch_format="pyarrow")
+
+
+def q_user_activity_skew(sf_dir: str):
+    """Skew census (A3 analog): histogram of per-user event counts."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    per_user = ops.preagg_group_count(ds, "user_id", "n_events")
+    return ops.preagg_group_count(per_user, "n_events", "n_users")
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join (S6/D3 analog: the unclassified side): customers with
+    no high-value order. The o_totalprice filter is pushed into the
+    parquet read."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_totalprice") > 150000,
+    )
+    return ops.anti_join(cust, orders, CFG, on="c_custkey", right_on="o_custkey")
+
+
+def q_substring_pairs(sf_dir: str):
+    """Suffix-array containment pairs over the whole (bounded) table."""
+    tbl = pa.concat_tables(
+        _read(sf_dir, "documents", ["doc_id", "text"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    return substring_pairs_table(tbl)
+
+
+def q_knn_cosine(sf_dir: str):
+    """Exact cosine top-10 vs the embedding of vec_id 0 (similarity
+    search baseline)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == 0)[0]
+        if len(hit):
+            q = np.asarray(batch["embedding"].combine_chunks()[int(hit[0])].values, dtype=np.float64)
+            break
+    assert q is not None
+    out = brute_force_topk(ds, q, k=10, exclude_ids=frozenset({0}))
+    return _round_col(out, "cos_sim", 4)
+
+
+# ---------------------------------------------------------------------
+# non-SQL-expressible (rows-only driver check; pytest brute-force oracle)
+# ---------------------------------------------------------------------
+
+def q_dedup_edges(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges, _ = dup_edges(docs, CFG)
+    return edges
+
+def q_dedup_clusters(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges, _ = dup_edges(docs, CFG)
+    labels = connected_components(edges, CFG)
+    return assign_clusters(docs, labels, CFG)
+
+
+def q_fingerprints(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    fp = fingerprints(docs, CFG)
+    return fp.select_columns(["doc_id", "simhash", "n_shingles"])
+
+
+def q_lang_id(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        LangIdStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_quality_scores(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = quality_score_batch(batch).select(
+            ["doc_id", "mean_token_len", "stop_ratio", "punct_ratio", "quality_score"]
+        )
+        for c in ["mean_token_len", "stop_ratio", "punct_ratio", "quality_score"]:
+            out = _round_col(out, c, 4)
+        return out
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def q_substring_dedup(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges, _ = dup_edges(docs, CFG)
+    labels = connected_components(edges, CFG)
+    clustered = assign_clusters(docs, labels, CFG)
+    # attach cluster_id then run the per-cluster suffix-array stage
+    from consult_ray.util import resolve_join_partitions
+
+    joined = docs.join(
+        clustered,
+        "inner",
+        resolve_join_partitions(CFG),
+        on=("doc_id",),
+        right_on=("doc_id",),
+        right_suffix="_r",
+    )
+    out = substring_dedup_in_clusters(joined, CFG)
+    return out.select_columns(["doc_id", "cluster_id", "substring_dropped"])
+
+
+def q_knn_lsh(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = add_hyperplane_buckets(ds, CFG, n_planes=8)
+    q = None
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == 0)[0]
+        if len(hit):
+            q = np.asarray(batch["embedding"].combine_chunks()[int(hit[0])].values, dtype=np.float64)
+            break
+    out = lsh_topk(bucketed, q, CFG, k=10, n_planes=8)
+    return _round_col(out, "cos_sim", 4)
+
+
+def q_lookup_classify(sf_dir: str):
+    """Stateful band-table membership: second half of the table queried
+    against the first half (CONSULT's search workload shape)."""
+    from consult_ray.state.lookup import classify_queries
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    corpus = docs.filter(expr=f"doc_id < {n // 2}")
+    queries = docs.filter(expr=f"doc_id >= {n // 2}")
+    out = classify_queries(queries, corpus, CFG, concurrency=2)
+    return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: decode-stub actor pool over a deterministic
+    synthetic media table (no media in the sf tables by design)."""
+    from consult_ray.stages.multimodal import (
+        DeterministicFakeDecoder,
+        make_fake_media_table,
+    )
+
+    ds = rd.from_arrow(make_fake_media_table(200))
+    out = ds.map_batches(
+        DeterministicFakeDecoder,
+        fn_constructor_kwargs=dict(dim=16),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.select_columns(["media_id", "kind", "features"])
+
+
+def q_minhash_edges(sf_dir: str):
+    """MinHash-band-only near-dup edges (the classic b x r LSH path)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges, _ = dup_edges(docs, CFG, kinds=("minhash",))
+    return edges
+
+
+def q_simhash_edges(sf_dir: str):
+    """Bit-sampled SimHash-band edges (the CONSULT-faithful path)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges, _ = dup_edges(docs, CFG, kinds=("simhash",))
+    return edges
+
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dedup_reps": q_exact_dedup_reps,
+    "token_stats": q_token_stats,
+    "lang_hist": q_lang_hist,
+    "source_stats": q_source_stats,
+    "filter_en_long": q_filter_en_long,
+    "lineitem_pricing": q_lineitem_pricing,
+    "events_hourly": q_events_hourly,
+    "user_activity_skew": q_user_activity_skew,
+    "customers_without_orders": q_customers_without_orders,
+    "substring_pairs": q_substring_pairs,
+    "knn_cosine": q_knn_cosine,
+    "dedup_edges": q_dedup_edges,
+    "dedup_clusters": q_dedup_clusters,
+    "fingerprints": q_fingerprints,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "substring_dedup": q_substring_dedup,
+    "knn_lsh": q_knn_lsh,
+    "lookup_classify": q_lookup_classify,
+    "media_features": q_media_features,
+    "minhash_edges": q_minhash_edges,
+    "simhash_edges": q_simhash_edges,
+}
+
+ORACLE_SQL = {
+    "exact_dedup_reps": (
+        "SELECT min(doc_id) AS rep_id, count(*) AS n_dups "
+        "FROM documents GROUP BY text"
+    ),
+    "token_stats": (
+        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
+        "length(text)::BIGINT AS n_chars2 FROM documents"
+    ),
+    "lang_hist": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "source_stats": (
+        "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        "FROM documents GROUP BY source"
+    ),
+    "filter_en_long": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars >= 200"
+    ),
+    "lineitem_pricing": (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "count(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "events_hourly": (
+        "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+    ),
+    "user_activity_skew": (
+        "SELECT n_events, count(*) AS n_users FROM ("
+        "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
+        ") GROUP BY n_events"
+    ),
+    "customers_without_orders": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 150000)"
+    ),
+    "substring_pairs": (
+        "SELECT a.doc_id AS inner_id, b.doc_id AS outer_id "
+        "FROM documents a JOIN documents b "
+        "ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0"
+    ),
+    "knn_cosine": (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qe), 4) AS cos_sim "
+        "FROM embeddings e, q WHERE e.vec_id <> 0 "
+        "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10"
+    ),
+}
