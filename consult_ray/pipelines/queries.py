@@ -197,7 +197,14 @@ def q_knn_cosine(sf_dir: str):
             break
     assert q is not None
     out = brute_force_topk(ds, q, k=10, exclude_ids=frozenset({0}))
-    return _round_col(out, "cos_sim", 4)
+    # e4-scaled int64 score: float64 on both sides would still hash-differ
+    # at the bit level (duckdb round vs arrow round), so compare integers
+    e4 = pc.cast(
+        pc.round(pc.multiply(out["cos_sim"], pa.scalar(10000.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+    return pa.table({"vec_id": out["vec_id"], "cos_sim_e4": e4})
 
 
 # ---------------------------------------------------------------------
@@ -397,9 +404,9 @@ ORACLE_SQL = {
         "ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0"
     ),
     "knn_cosine": (
-        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
-        "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qe), 4) AS cos_sim "
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) "
+        "SELECT e.vec_id, CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) * 10000) AS BIGINT) AS cos_sim_e4 "
         "FROM embeddings e, q WHERE e.vec_id <> 0 "
-        "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10"
+        "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id LIMIT 10"
     ),
 }
