@@ -38,9 +38,12 @@ from ray.data.aggregate import Min, Sum
 
 from consult_ray.config import PipelineConfig
 from consult_ray.util import resolve_join_partitions
-from consult_ray.state.unionfind import unionfind_labels
+from consult_ray.state.unionfind import vectorized_labels
 
-DRIVER_EDGE_LIMIT = 2_000_000
+# Edges are 16 B/row; 20M edges = 320 MB driver-side, and the vectorized
+# min-label kernel clears that in seconds — far under the cost of even
+# one distributed propagation round. Above this, the distributed path.
+DRIVER_EDGE_LIMIT = 20_000_000
 
 
 def _edge_nodes(edges: Dataset) -> Dataset:
@@ -79,12 +82,16 @@ def _propagate_round(edges: Dataset, labels: Dataset, num_partitions: int) -> Da
         la = batch["label_a"].to_numpy(zero_copy_only=False)
         lb = batch["label"].to_numpy(zero_copy_only=False)
         m = np.minimum(la, lb)
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([a, b])),
-                "label": pa.array(np.concatenate([m, m])),
-            }
-        )
+        node = np.concatenate([a, b])
+        lab = np.concatenate([m, m])
+        # per-block pre-combine: one (node, min label) row per distinct
+        # node, so the groupby-min shuffle moves per-node partials, not
+        # two rows per edge
+        order = np.argsort(node, kind="stable")
+        node, lab = node[order], lab[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        mins = np.minimum.reduceat(lab, starts)
+        return pa.table({"node": pa.array(node[starts]), "label": pa.array(mins)})
 
     messages = withAB.map_batches(msgs, batch_format="pyarrow")
     return (
@@ -123,17 +130,10 @@ def connected_components_driver(edges: Dataset) -> Dataset:
         if parts
         else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     )
-    labels = unionfind_labels(
+    nodes, labs = vectorized_labels(
         tbl["a"].to_numpy(zero_copy_only=False), tbl["b"].to_numpy(zero_copy_only=False)
     )
-    if not labels:
-        return rd.from_arrow(
-            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-        )
-    nodes = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
-    labs = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
-    order = np.argsort(nodes)
-    return rd.from_arrow(pa.table({"node": pa.array(nodes[order]), "label": pa.array(labs[order])}))
+    return rd.from_arrow(pa.table({"node": pa.array(nodes), "label": pa.array(labs)}))
 
 
 def connected_components(
@@ -145,6 +145,9 @@ def connected_components(
     "distributed".
     """
     if mode == "auto":
+        # materialize once: count() would otherwise execute the whole
+        # candidate join and the chosen path would re-execute it
+        edges = edges.materialize()
         mode = "driver" if edges.count() <= DRIVER_EDGE_LIMIT else "distributed"
     if mode == "driver":
         return connected_components_driver(edges)

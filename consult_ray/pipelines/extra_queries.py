@@ -51,7 +51,12 @@ def q_deterministic_sample(sf_dir: str):
     """Deterministic 10% sample (hash-free modulo sampling — the O6
     seeded-sampling analog, reproducible across retries)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-    return ds.filter(expr="doc_id % 10 = 0")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # --- multi-way join (revenue per nation) -----------------------------
@@ -95,19 +100,16 @@ def q_minimizers(sf_dir: str):
         mins = []
         for t in texts:
             t = t or ""
-            if len(t) <= K:
+            # windows over CODE POINTS (utf-32 view) so the min matches
+            # character-based substring semantics; code-point order ==
+            # binary UTF-8 order, duckdb's default collation
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            if len(cp) <= K:
                 mins.append(t)
-            else:
-                # vectorized window-min via numpy sliding view over bytes
-                b = np.frombuffer(t.encode(), dtype=np.uint8)
-                if len(b) <= K:
-                    mins.append(t)
-                    continue
-                w = np.lib.stride_tricks.sliding_window_view(b, K)
-                # lexicographic argmin over fixed-width windows: view as void
-                v = np.ascontiguousarray(w).view([("", np.uint8)] * K)
-                idx = int(np.argmin(v.ravel()))
-                mins.append(bytes(w[idx]).decode("utf-8", errors="replace"))
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(cp, K)
+            idx = np.lexsort(np.ascontiguousarray(w).T[::-1])[0]
+            mins.append("".join(chr(c) for c in w[idx]))
         return pa.table({"doc_id": batch["doc_id"], "minimizer": pa.array(mins, pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -119,12 +121,78 @@ def q_union_langs(sf_dir: str):
     """Union + distinct across two sources (documents.lang and a filtered
     events projection is meaningless; use documents vs documents-sample)."""
     a = _read(sf_dir, "documents", ["lang"])
-    b = _read(sf_dir, "documents", ["lang"]).filter(expr="lang <> 'en'")
+    b = _read(sf_dir, "documents", ["lang"]).filter(expr="lang != 'en'")
     from consult_ray.pipelines.operators import preagg_group_count
 
     unioned = a.union(b)
     counts = preagg_group_count(unioned, "lang", "n")
     return counts
+
+
+# --- temporal / streaming-window operators ---------------------------
+
+def q_sessionized_events(sf_dir: str):
+    """Per-user session count (30-min inactivity gap): single
+    groupby(user) shuffle + per-group vectorized sort/diff."""
+    from consult_ray.pipelines.operators import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return sessionize(ds, CFG, key="user_id", ts="ts",
+                      order_tiebreak="event_id", gap_minutes=30)
+
+
+def q_distinct_users_daily(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per day via two-level pair dedup."""
+    from consult_ray.pipelines.operators import distinct_count_by
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(batch["ts"], unit="day"),
+                         "user_id": batch["user_id"]})
+
+    daily = ds.map_batches(add_day, batch_format="pyarrow")
+    return distinct_count_by(daily, "day", "user_id", out_name="n_users")
+
+
+def q_top_users_by_value(sf_dir: str):
+    """Top-20 users by total event value. Values convert to integer cents
+    per row BEFORE summing so the distributed sum is associative and
+    bit-exact vs the oracle; pre-aggregated per batch, then a small
+    groupby + sort + limit."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        df = pa.table({"user_id": batch["user_id"], "total_cents": cents}).to_pandas()
+        g = df.groupby("user_id", as_index=False)["total_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("total_cents", alias_name="total_cents"))
+    )
+    return agg.sort(["total_cents", "user_id"], descending=[True, False]).limit(20)
+
+
+def q_events_asof_order(sf_dir: str):
+    """As-of join (an operator Ray Data lacks): each event matched to the
+    latest order of the same user at or before the event time."""
+    from consult_ray.pipelines.operators import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return asof_join(
+        events, orders, CFG,
+        on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        out_ts="asof_date", left_keep=("event_id",),
+    )
 
 
 EXTRA_QUERIES = {
@@ -134,6 +202,10 @@ EXTRA_QUERIES = {
     "nation_order_value": q_nation_order_value,
     "minimizers": q_minimizers,
     "union_langs": q_union_langs,
+    "sessionized_events": q_sessionized_events,
+    "distinct_users_daily": q_distinct_users_daily,
+    "top_users_by_value": q_top_users_by_value,
+    "events_asof_order": q_events_asof_order,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -148,6 +220,27 @@ EXTRA_ORACLE_SQL = {
     "deterministic_sample": (
         "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0"
     ),
+    "sessionized_events": (
+        "SELECT user_id, count(*) AS n_sessions FROM ("
+        "SELECT user_id, CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+        "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ") WHERE new_sess = 1 GROUP BY user_id"
+    ),
+    "distinct_users_daily": (
+        "SELECT date_trunc('day', ts) AS day, "
+        "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+    ),
+    "top_users_by_value": (
+        "SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS total_cents "
+        "FROM events GROUP BY user_id "
+        "ORDER BY total_cents DESC, user_id LIMIT 20"
+    ),
+    "events_asof_order": (
+        "SELECT e.event_id, o.o_orderdate AS asof_date "
+        "FROM events e ASOF JOIN orders o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
     "nation_order_value": (
         "SELECT n.n_name, round(sum(o.o_totalprice), 2) AS total_value, "
         "count(*) AS n_orders "
@@ -159,11 +252,14 @@ EXTRA_ORACLE_SQL = {
         "SELECT lang FROM documents UNION ALL "
         "SELECT lang FROM documents WHERE lang <> 'en') GROUP BY lang"
     ),
-    # minimizers: expressible in DuckDB with a lateral substring scan
+    # minimizers: a numbers-table join (lateral generate_series over a
+    # column is unsupported); 65536 bounds the doc length in testdata
     "minimizers": (
-        "SELECT doc_id, CASE WHEN length(text) <= 16 THEN text ELSE ("
-        "SELECT min(substring(t.text, i, 16)) "
-        "FROM generate_series(1, length(t.text) - 15) AS g(i)"
-        ") END AS minimizer FROM documents t"
+        "SELECT d.doc_id, CASE WHEN length(d.text) <= 16 THEN min(d.text) "
+        "ELSE min(substring(d.text, n.i, 16)) END AS minimizer "
+        "FROM documents d "
+        "LEFT JOIN (SELECT CAST(range AS INT) AS i FROM range(1, 65537)) n "
+        "ON n.i <= length(d.text) - 15 "
+        "GROUP BY d.doc_id, length(d.text)"
     ),
 }

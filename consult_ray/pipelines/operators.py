@@ -149,6 +149,129 @@ def preagg_group_count(ds: Dataset, key: str, out_name: str = "n") -> Dataset:
     )
 
 
+# ---------------------------------------------------------------------
+# temporal operators Ray Data lacks natively: as-of join, sessionization
+# (custom operators per SURVEY §2 "custom operators" mandate; both rely
+# on a single hash-partitioning by entity key, documented here: every
+# row of one entity must land in one group, which groupby guarantees)
+# ---------------------------------------------------------------------
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    cfg: PipelineConfig,
+    on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    out_ts: str = "asof_ts",
+    left_keep: tuple[str, ...] = (),
+) -> Dataset:
+    """For each left row, the greatest right_ts <= left_ts within the same
+    key (inner semantics: unmatched left rows drop) — DuckDB's ASOF JOIN,
+    which Ray Data has no primitive for.
+
+    Plan: both sides project to a common (key, ts, side, payload) schema,
+    union, ONE groupby(key) shuffle, and a per-group vectorized
+    sort + np.searchsorted. Group size = one entity's rows, so memory is
+    bounded by the hottest key, not the table."""
+
+    lcols = [on, left_ts, *left_keep]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            "k": batch[on].cast(pa.int64()),
+            "ts": batch[left_ts],
+            "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        }
+        for c in left_keep:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {
+            "k": batch[right_on].cast(pa.int64()),
+            "ts": batch[right_ts],
+            "side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+        }
+        for c in left_keep:
+            cols[c] = pa.nulls(batch.num_rows, pa.int64())
+        return pa.table(cols)
+
+    both = left.select_columns(lcols).map_batches(tag_left, batch_format="pyarrow").union(
+        right.select_columns([right_on, right_ts]).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        rts = np.sort(ts[~lmask])
+        lts = ts[lmask]
+        if len(rts) == 0 or len(lts) == 0:
+            return pa.table(
+                {c: pa.array([], g.schema.field(c).type) for c in left_keep}
+                | {out_ts: pa.array([], g.schema.field("ts").type)}
+            )
+        pos = np.searchsorted(rts, lts, side="right") - 1
+        ok = pos >= 0
+        out = {c: g[c].filter(pa.array(lmask)).filter(pa.array(ok)) for c in left_keep}
+        out[out_ts] = pa.array(rts[pos[ok]])
+        return pa.table(out)
+
+    return both.groupby("k").map_groups(per_key, batch_format="pyarrow")
+
+
+def sessionize(
+    ds: Dataset,
+    cfg: PipelineConfig,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+) -> Dataset:
+    """Per-key session count with a fixed inactivity gap (streaming-window
+    analog, SURVEY §2.9): ONE groupby(key) shuffle, per-group sort + diff.
+    """
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(ts, "ascending"), (order_tiebreak, "ascending")]
+        )
+        t = g[ts].take(order).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        n_sessions = 1 + int((np.diff(t) > gap_us).sum()) if len(t) else 0
+        return pa.table(
+            {
+                key: pa.array([g[key][0].as_py()], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([key, ts, order_tiebreak]).groupby(key).map_groups(
+        per_key, batch_format="pyarrow"
+    )
+
+
+def distinct_count_by(
+    ds: Dataset, group_key: str, distinct_key: str, out_name: str = "n_distinct"
+) -> Dataset:
+    """Exact COUNT(DISTINCT distinct_key) GROUP BY group_key: per-batch
+    pair dedup -> pair groupby (the only full shuffle) -> tiny per-group
+    count. No driver materialization; both groupbys stream."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        tb = batch.select([group_key, distinct_key])
+        return tb.group_by([group_key, distinct_key]).aggregate([])
+
+    deduped = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby([group_key, distinct_key])
+        .aggregate(Count(alias_name="_c"))
+    )
+    return preagg_group_count(deduped, group_key, out_name)
+
+
 def preagg_group_sum(ds: Dataset, key: str, value: str, out_name: str) -> Dataset:
     """groupby(key).sum(value) with per-batch combining."""
 

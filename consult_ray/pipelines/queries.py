@@ -334,6 +334,8 @@ def q_simhash_edges(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------
 
+from consult_ray.pipelines.extra_queries import EXTRA_ORACLE_SQL, EXTRA_QUERIES
+
 QUERIES = {
     "exact_dedup_reps": q_exact_dedup_reps,
     "token_stats": q_token_stats,
@@ -357,6 +359,7 @@ QUERIES = {
     "media_features": q_media_features,
     "minhash_edges": q_minhash_edges,
     "simhash_edges": q_simhash_edges,
+    **EXTRA_QUERIES,
 }
 
 ORACLE_SQL = {
@@ -409,4 +412,5 @@ ORACLE_SQL = {
         "FROM embeddings e, q WHERE e.vec_id <> 0 "
         "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id LIMIT 10"
     ),
+    **EXTRA_ORACLE_SQL,
 }

@@ -1,0 +1,109 @@
+"""Unit tests for the custom temporal operators (as-of join,
+sessionization, exact distinct-count) on hand-built tables, checked
+against pandas ground truth rather than the sf fixtures."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from consult_ray.config import PipelineConfig
+from consult_ray.pipelines.operators import asof_join, distinct_count_by, sessionize
+
+CFG = PipelineConfig()
+
+
+def _ts(*vals):
+    return pa.array(pd.to_datetime(list(vals)), pa.timestamp("us"))
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    rng = np.random.default_rng(7)
+    n_left, n_right = 400, 120
+    left = pd.DataFrame({
+        "event_id": np.arange(n_left, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n_left),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 10**6, n_left), unit="s"),
+    })
+    right = pd.DataFrame({
+        "o_custkey": rng.integers(0, 25, n_right),
+        "o_orderdate": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 10**6, n_right), unit="s"),
+    })
+
+    got = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), CFG,
+        on="user_id", right_on="o_custkey", left_ts="ts", right_ts="o_orderdate",
+        out_ts="asof_date", left_keep=("event_id",),
+    ).to_pandas().sort_values("event_id", ignore_index=True)
+
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("o_orderdate"),
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey", direction="backward",
+    ).dropna(subset=["o_orderdate"]).sort_values("event_id", ignore_index=True)
+
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["asof_date"].to_numpy() == want["o_orderdate"].to_numpy()).all()
+
+
+def test_sessionize_hand_case(ray_session):
+    # user 1: 3 events, gaps 10min/45min -> 2 sessions
+    # user 2: 1 event -> 1 session
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": _ts("2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 10:55",
+                  "2024-01-02 00:00"),
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    out = sessionize(rd.from_arrow(tbl), CFG, gap_minutes=30).to_pandas()
+    got = dict(zip(out.user_id, out.n_sessions))
+    assert got == {1: 2, 2: 1}
+
+
+def test_distinct_count_matches_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "day": rng.integers(0, 5, 1000),
+        "user_id": rng.integers(0, 40, 1000),
+    })
+    out = distinct_count_by(rd.from_pandas(df), "day", "user_id", "n_users").to_pandas()
+    want = df.groupby("day")["user_id"].nunique()
+    got = dict(zip(out.day, out.n_users))
+    assert got == want.to_dict()
+
+
+def test_minimizer_kernel_unicode():
+    """Char-window minimizer must match per-character brute force even on
+    multibyte text (code-point windows, not byte windows)."""
+    from consult_ray.pipelines.extra_queries import q_minimizers  # noqa: F401 (import check)
+    K = 16
+    texts = ["zèbre annonce café au lait über alles", "short", "",
+             "aaaaaaaaaaaaaaaaaaab", "中文测试 west of the middle 中文"]
+    for t in texts:
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        if len(cp) <= K:
+            got = t
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(cp, K)
+            idx = np.lexsort(np.ascontiguousarray(w).T[::-1])[0]
+            got = "".join(chr(c) for c in w[idx])
+        want = t if len(t) <= K else min(t[i:i + K] for i in range(len(t) - K + 1))
+        assert got == want, t
+
+
+def test_vectorized_labels_matches_unionfind():
+    from consult_ray.state.unionfind import unionfind_labels, vectorized_labels
+    rng = np.random.default_rng(11)
+    for _ in range(15):
+        n = int(rng.integers(2, 1500))
+        e = int(rng.integers(1, 4000))
+        a = rng.integers(0, n, e).astype(np.int64)
+        b = rng.integers(0, n, e).astype(np.int64)
+        nodes, labs = vectorized_labels(a, b)
+        assert dict(zip(nodes.tolist(), labs.tolist())) == unionfind_labels(a, b)
+    # empty edge set
+    nodes, labs = vectorized_labels(np.array([], np.int64), np.array([], np.int64))
+    assert len(nodes) == 0 and len(labs) == 0
