@@ -195,6 +195,78 @@ def q_events_asof_order(sf_dir: str):
     )
 
 
+# --- dedup-family variants with SQL oracles --------------------------
+
+def q_ngram_jaccard_doc0(sf_dir: str):
+    """Exact character-trigram Jaccard of every doc vs doc 0 (the n-gram
+    Jaccard near-dup family with a SQL-checkable shape). Scores scale to
+    e4 integers; trigram sets are exact rationals so both sides agree
+    bit-for-bit. The scalable near-dup path hashes shingles instead
+    (fingerprints/minhash); this exposes the un-hashed metric itself."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref_tbl = pa.concat_tables(
+        ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    id_np = ref_tbl["doc_id"].to_numpy(zero_copy_only=False)
+    base_text = ref_tbl["text"].to_pylist()[int(np.nonzero(id_np == 0)[0][0])] or ""
+    g0 = frozenset(base_text[i: i + 3] for i in range(max(0, len(base_text) - 2)))
+    import ray as _ray
+
+    g0_ref = _ray.put(g0)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ref = _ray.get(g0_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        for j, t in enumerate(batch["text"].to_pylist()):
+            t = t or ""
+            g = frozenset(t[i: i + 3] for i in range(max(0, len(t) - 2)))
+            u = len(g | ref)
+            jac = (len(g & ref) / u) if u else 1.0
+            # half-up to match duckdb round() (numpy/python round are half-even)
+            out[j] = np.int64(np.floor(jac * 10000.0 + 0.5))
+        return pa.table({"doc_id": pa.array(ids), "jaccard_e4": pa.array(out)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos >= 0.35, a < b): per-batch
+    float64 matmul against the broadcast full matrix — the brute-force
+    N x M block of a cosine self-join; the LSH-bucketed variant
+    (knn_lsh) is the scale path."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    full = pa.concat_tables(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    ids_all = full["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.asarray(full["embedding"].combine_chunks().flatten(), dtype=np.float64)
+    m = m.reshape(len(ids_all), -1)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mat_ref = _ray.put((ids_all, m / norms[:, None]))
+
+    TAU = 0.35
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_r, mat = _ray.get(mat_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        q = np.asarray(batch["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        q = q.reshape(len(ids), -1)
+        qn = np.linalg.norm(q, axis=1)
+        qn[qn == 0] = 1.0
+        sims = (q / qn[:, None]) @ mat.T
+        ai, bj = np.nonzero(sims >= TAU)
+        a, b = ids[ai], ids_r[bj]
+        keep = a < b
+        cos = sims[ai[keep], bj[keep]]
+        e4 = np.floor(cos * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "cos_e4": pa.array(e4)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 EXTRA_QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "orders_by_month": q_orders_by_month,
@@ -206,6 +278,8 @@ EXTRA_QUERIES = {
     "distinct_users_daily": q_distinct_users_daily,
     "top_users_by_value": q_top_users_by_value,
     "events_asof_order": q_events_asof_order,
+    "ngram_jaccard_doc0": q_ngram_jaccard_doc0,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -240,6 +314,29 @@ EXTRA_ORACLE_SQL = {
         "SELECT e.event_id, o.o_orderdate AS asof_date "
         "FROM events e ASOF JOIN orders o "
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "ngram_jaccard_doc0": (
+        "WITH nums AS (SELECT CAST(range AS INT) AS i FROM range(1, 65537)), "
+        "grams AS (SELECT DISTINCT d.doc_id, substring(d.text, n.i, 3) AS g "
+        "FROM documents d JOIN nums n ON n.i <= length(d.text) - 2), "
+        "g0 AS (SELECT g FROM grams WHERE doc_id = 0), "
+        "cnts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT g2.doc_id, count(*) AS i_cnt FROM grams g2 "
+        "JOIN g0 ON g2.g = g0.g GROUP BY g2.doc_id) "
+        "SELECT d.doc_id, CAST(round(10000.0 * COALESCE(i.i_cnt, 0) / "
+        "(COALESCE(c.n, 0) + (SELECT count(*) FROM g0) - COALESCE(i.i_cnt, 0))"
+        ") AS BIGINT) AS jaccard_e4 "
+        "FROM documents d "
+        "LEFT JOIN cnts c ON d.doc_id = c.doc_id "
+        "LEFT JOIN inter i ON d.doc_id = i.doc_id"
+    ),
+    "embedding_dup_pairs": (
+        "SELECT a.vec_id AS a, b.vec_id AS b, "
+        "CAST(round(10000 * list_cosine_similarity("
+        "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS BIGINT) AS cos_e4 "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.35"
     ),
     "nation_order_value": (
         "SELECT n.n_name, round(sum(o.o_totalprice), 2) AS total_value, "
