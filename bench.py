@@ -53,8 +53,11 @@ def _run_bench() -> None:
     # a size where compute, not fixed overhead, dominates (the sf table
     # alone is 5k rows at sf0.1 — minutes of nothing). Cached on disk and
     # shared byte-identical by both --scaling runs.
+    from consult_ray.sources.benchgen import CORPUS_VERSION
+
     expand = int(os.environ.get("GRAFT_BENCH_EXPAND", "80"))
-    cache = f"/tmp/consult_ray_bench/{os.path.basename(sf_dir.rstrip('/'))}-x{expand}"
+    cache = (f"/tmp/consult_ray_bench/"
+             f"{os.path.basename(sf_dir.rstrip('/'))}-x{expand}-v{CORPUS_VERSION}")
     pages_dir = expand_documents(sf_dir, expand, cache)
     # warm the OS page cache so we measure compute + shuffle, not cold reads
     n_docs = rd.read_parquet(pages_dir, columns=["doc_id"]).count()

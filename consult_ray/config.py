@@ -73,6 +73,16 @@ class PipelineConfig:
     join_partitions: int = 32
     cc_max_iters: int = 50
 
+    # --- hot-key (heavy hitter) detection ---
+    # "sketch": count-min sketch, two vectorized passes, no census shuffle
+    #           (the scale path; estimates overcount so the candidate set
+    #           is a deterministic superset — capping non-hot keys is a
+    #           no-op, so semantics are exact)
+    # "exact":  full band_key census groupby (the A3-faithful path)
+    census_mode: str = "sketch"
+    cms_width: int = 1 << 20   # cells per depth row; error ~ total_rows/width
+    cms_depth: int = 3
+
     # derived, cached at first use
     _cache: dict = field(default_factory=dict, compare=False, hash=False, repr=False)
 

@@ -138,12 +138,10 @@ class CheckpointedDedupPipeline:
         )
 
         def build_edges():
-            cens = dedup_mod.band_key_census(bands, cfg)
-            hot, dropped = dedup_mod.hot_band_keys(cens, cfg)
-            capped = dedup_mod.cap_hot_buckets(bands, cfg, hot)
+            capped, cstats = dedup_mod.capped_band_rows(bands, cfg)
             edges = dedup_mod.candidate_edges(capped, cfg)
             edges = dedup_mod.pair_count_threshold(edges, cfg)
-            return edges, {"hot_keys": len(hot), "dropped_band_rows": dropped}
+            return edges, cstats
 
         edges = self._run_stage("edges", build_edges)
 

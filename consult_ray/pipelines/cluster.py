@@ -130,9 +130,18 @@ def connected_components_driver(edges: Dataset) -> Dataset:
         if parts
         else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     )
-    nodes, labs = vectorized_labels(
-        tbl["a"].to_numpy(zero_copy_only=False), tbl["b"].to_numpy(zero_copy_only=False)
-    )
+    a = tbl["a"].to_numpy(zero_copy_only=False)
+    b = tbl["b"].to_numpy(zero_copy_only=False)
+    # band multiplicity means the same pair arrives many times; dedupe
+    # once (packed-pair unique) before the O(E)-per-round label kernel
+    if len(a):
+        lo = np.minimum(a, b).astype(np.uint64)
+        hi = np.maximum(a, b).astype(np.uint64)
+        packed = np.unique((lo << np.uint64(32)) | hi) if (hi < (1 << 32)).all() else None
+        if packed is not None:
+            a = (packed >> np.uint64(32)).astype(np.int64)
+            b = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    nodes, labs = vectorized_labels(a, b)
     return rd.from_arrow(pa.table({"node": pa.array(nodes), "label": pa.array(labs)}))
 
 

@@ -135,6 +135,87 @@ def cap_hot_buckets(bands: Dataset, cfg: PipelineConfig, hot_keys: set[int]) -> 
     return cold.union(capped_hot)
 
 
+def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
+    """Sketch-based hot-bucket capping: detect heavy band keys with a
+    count-min sketch (functions/sketch.py) instead of the exact census
+    groupby — two vectorized passes over the band rows and NO shuffle
+    except the tiny groupby over the hot subset itself.
+
+    CMS estimates only overcount, so the candidate set is a deterministic
+    superset of the true >cap keys; false positives only route a few
+    extra under-cap groups through the capping groupby, where head(C) of
+    a group smaller than C keeps every row. Scale note: the driver merge
+    is a sum of (depth x width) uint32 grids, one per block — at cluster
+    scale width grows with total rows (error ~ rows/width) and the merge
+    becomes a tree reduce; semantics are unchanged."""
+    import ray
+
+    from consult_ray.functions.sketch import cms_block_counts, cms_estimate, cms_merge
+
+    W, D, seed = cfg.cms_width, cfg.cms_depth, cfg.seed + 999
+
+    def sk(batch: pa.Table) -> pa.Table:
+        grid = cms_block_counts(
+            batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed
+        )
+        return pa.table({"sketch": pa.array([grid.tobytes()], pa.large_binary())})
+
+    rows = bands.map_batches(sk, batch_format="pyarrow", batch_size=None).take_all()
+    if not rows:
+        return bands
+    merged = cms_merge(
+        [np.frombuffer(r["sketch"], dtype=np.uint32).reshape(D, W) for r in rows]
+    )
+    thr = cfg.bucket_cap + 1
+    if int(merged.min(axis=0).max()) < thr:
+        return bands  # provably no key exceeds the cap
+
+    ref = ray.put(merged)
+
+    def hot_mask(batch: pa.Table) -> np.ndarray:
+        grid = ray.get(ref)
+        est = cms_estimate(
+            grid, batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed
+        )
+        return est >= thr
+
+    def split_cold(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~hot_mask(batch)))
+
+    def split_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(hot_mask(batch)))
+
+    def cap_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(order[: cfg.bucket_cap])
+
+    cold = bands.map_batches(split_cold, batch_format="pyarrow")
+    capped_hot = (
+        bands.map_batches(split_hot, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(cap_group, batch_format="pyarrow")
+    )
+    return cold.union(capped_hot)
+
+
+def capped_band_rows(
+    bands: Dataset, cfg: PipelineConfig
+) -> tuple[Dataset, dict]:
+    """Apply the bucket-cap policy per cfg.census_mode; returns the
+    capped (materialized) band rows + stats."""
+    stats: dict = {"census_mode": cfg.census_mode}
+    if cfg.census_mode == "exact":
+        cens = band_key_census(bands, cfg)
+        hot, dropped = hot_band_keys(cens, cfg)
+        stats["hot_keys"] = len(hot)
+        stats["dropped_band_rows"] = dropped
+        return cap_hot_buckets(bands, cfg, hot).materialize(), stats
+    n_before = bands.count()
+    capped = cap_hot_buckets_sketch(bands, cfg).materialize()
+    stats["dropped_band_rows"] = int(n_before - capped.count())
+    return capped, stats
+
+
 def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     """Band rows -> verified dup edges (a, b, hamming), a < b.
 
@@ -219,11 +300,8 @@ def dup_edges(
     bands = band_rows(fp, cfg, kinds=kinds).materialize()
     stats: dict = {"dropped_band_rows": 0, "hot_keys": 0}
     if census:
-        cens = band_key_census(bands, cfg)
-        hot, dropped = hot_band_keys(cens, cfg)
-        stats["dropped_band_rows"] = dropped
-        stats["hot_keys"] = len(hot)
-        bands = cap_hot_buckets(bands, cfg, hot).materialize()
+        bands, cstats = capped_band_rows(bands, cfg)
+        stats.update(cstats)
     edges = candidate_edges(bands, cfg)
     edges = pair_count_threshold(edges, cfg)
     return edges, stats

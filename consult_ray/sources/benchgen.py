@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import os
 
+# bump when the expansion recipe changes so cached corpora regenerate
+CORPUS_VERSION = 2
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -55,10 +58,23 @@ def expand_documents(sf_dir: str, expand: int, out_dir: str, num_files: int = 32
             # near dup: replace the first token deterministically
             v["text"] = "ndup" + str(r) + " " + v["text"].str.split(" ", n=1).str[1].fillna("")
         else:
-            # unique-ified: distinct prefix + per-doc unique suffix
-            v["text"] = (
-                "u" + str(r) + " " + v["text"] + " uq" + v["doc_id"].astype(str)
-            )
+            # unique-ified: salt every 4th token so shingle windows break
+            # everywhere — a prefix/suffix alone leaves the body's shingle
+            # set intact and LSH (correctly) reports the variant as a
+            # near-dup of its base, flooding band buckets
+            tag = f"u{r}"
+
+            def _salt(row):
+                toks = row["text"].split(" ")
+                uid = f"q{row['doc_id']}"
+                out = []
+                for j, tk in enumerate(toks):
+                    out.append(tk)
+                    if j % 4 == 3:
+                        out.append(f"{tag}{uid}x{j}")
+                return " ".join(out)
+
+            v["text"] = v.apply(_salt, axis=1)
         frames.append(v)
 
     all_df = pd.concat(frames, ignore_index=True)

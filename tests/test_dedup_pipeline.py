@@ -111,7 +111,10 @@ def test_census_caps_hot_boilerplate_keys(ray_session):
     base = "boilerplate " * 100
     texts = [base + f"tail{i}" for i in range(120)]
     tbl = pa.table({"doc_id": pa.array(np.arange(120)), "text": pa.array(texts)})
-    cfg = PipelineConfig()
+    # exact mode so per-key hot stats are reported (the sketch path only
+    # reports dropped rows; its equivalence is covered below)
+    import dataclasses
+    cfg = dataclasses.replace(PipelineConfig(), census_mode="exact")
     edges, stats = dup_edges(rd.from_arrow(tbl), cfg)
     n = edges.count()
     assert stats["hot_keys"] > 0
@@ -123,3 +126,28 @@ def test_census_caps_hot_boilerplate_keys(ray_session):
     # a fully-hot band family contributes at most C*(C-1)/2 pairs per key;
     # the uncapped one contributes up to 120*119/2 = 7140
     assert n_uncapped > 7000
+
+
+def test_sketch_capping_matches_exact(corpus, ray_session):
+    """The CMS candidate set is a superset of the true hot keys and
+    capping under-cap groups is a no-op, so the sketch and exact census
+    paths must produce identical capped band rows — hence identical
+    edges."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from consult_ray.pipelines.dedup import band_rows, capped_band_rows, fingerprints
+
+    docs_tbl, _truth = corpus
+    docs = rd.from_arrow(docs_tbl)
+    cfg_exact = dataclasses.replace(CFG, census_mode="exact")
+    cfg_sketch = dataclasses.replace(CFG, census_mode="sketch")
+    bands = band_rows(fingerprints(docs, CFG), CFG).materialize()
+    capped_e, stats_e = capped_band_rows(bands, cfg_exact)
+    capped_s, stats_s = capped_band_rows(bands, cfg_sketch)
+    assert stats_e["dropped_band_rows"] == stats_s["dropped_band_rows"]
+    key = ["band_kind", "band", "band_key", "doc_id"]
+    a = capped_e.to_pandas().sort_values(key, ignore_index=True)
+    b = capped_s.to_pandas().sort_values(key, ignore_index=True)
+    assert a.equals(b)
