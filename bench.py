@@ -106,17 +106,24 @@ def _run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N. Default 2 vs 8: this host advertises 32 vCPUs but a
+    # parallel CPU probe measures only ~14 effective cores (shared-host
+    # steal / quota), so 8-vs-32 measures the host's ceiling, not the
+    # pipeline's scalability. 2-vs-8 has true 4x hardware headroom.
+    # Override with GRAFT_SCALE_LO/GRAFT_SCALE_HI.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
         "sf": r_hi["sf"],
     }))

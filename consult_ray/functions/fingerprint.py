@@ -28,45 +28,95 @@ U64 = np.uint64
 _SIMHASH_CHUNK = 1 << 18  # shingles per unpack chunk: 256k * 64 * 1B = 16 MiB
 
 
+_OPH_VALUE_BITS = 40
+_OPH_EMPTY = U64(0xFFFFFFFFFFFFFFFF)
+
+
 def minhash_signatures(
     hashes: np.ndarray, starts: np.ndarray, cfg: PipelineConfig
 ) -> np.ndarray:
-    """(n_docs, P) uint64 MinHash signature matrix.
+    """(n_docs, P) uint64 MinHash signature matrix via ONE-PERMUTATION
+    HASHING (Li/Owen/Zhang 2012): shingle hashes are binned by their low
+    log2(P) bits and the minimum 40-bit value per (doc, bin) is the
+    signature entry; empty bins are filled by deterministic rotation
+    densification (borrow from the next filled bin, distance-doubling).
 
-    Permutation i is the multiply-shift universal hash a_i*h + b_i over the
-    doc's shingle-hash set; min taken per doc via segmented reduction.
-    Segments must be non-empty (guaranteed by rolling_shingle_hashes).
+    One sort pass over the batch instead of P full-array permutation
+    passes — P=128 classic MinHash moves ~P x 8 bytes per shingle through
+    RAM and saturates memory bandwidth long before CPUs saturate; OPH is
+    the web-scale form of the same estimator. A signature is a pure
+    function of the shingle SET (identical sets => identical signatures;
+    Jaccard-similar sets agree on ~J of the bins).
     """
     n_docs = len(starts)
     P = cfg.num_perm
-    out = np.empty((n_docs, P), dtype=np.uint64)
-    if n_docs == 0:
+    assert P & (P - 1) == 0, "num_perm must be a power of two for OPH"
+    out = np.full((n_docs, P), _OPH_EMPTY, dtype=np.uint64)
+    if n_docs == 0 or len(hashes) == 0:
         return out
-    a, b = cfg.minhash_a, cfg.minhash_b
-    for i in range(P):
-        perm = hashes * a[i] + b[i]
-        out[:, i] = np.minimum.reduceat(perm, starts)
+    n = len(hashes)
+    seg_lens = np.diff(np.append(starts, n)).astype(np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.uint64), seg_lens)
+
+    # (doc, bin) key in the high 24 bits, 40-bit value in the low bits:
+    # one sort orders by key then value, so each group's first element
+    # holds the group minimum
+    key = doc_of * U64(P) + (hashes & U64(P - 1))
+    combo = (key << U64(_OPH_VALUE_BITS)) | (hashes >> U64(64 - _OPH_VALUE_BITS))
+    combo = np.sort(combo)
+    skey = combo >> U64(_OPH_VALUE_BITS)
+    firsts = np.flatnonzero(np.r_[True, skey[1:] != skey[:-1]])
+    flat = out.reshape(-1)
+    flat[skey[firsts].astype(np.int64)] = combo[firsts] & U64((1 << _OPH_VALUE_BITS) - 1)
+
+    # rotation densification with distance doubling: deterministic, and a
+    # pure function of the bin contents (docs with identical sets stay
+    # identical); borrowed values are mixed with the distance so a bin
+    # filled from afar differs from one filled nearby
+    shift = 1
+    while shift < 2 * P:
+        empty = out == _OPH_EMPTY
+        if not empty.any():
+            break
+        donor = np.roll(out, -shift, axis=1)
+        ok = empty & (donor != _OPH_EMPTY)
+        if ok.any():
+            out[ok] = splitmix64(donor[ok] ^ U64(0xD00D + shift))
+        shift *= 2
     return out
+
+
+_SIMHASH_CACHE_CHUNK = 1 << 16  # shingles per chunk: 64k * 8 B = 512 KiB, L2-resident
 
 
 def simhash_signatures(hashes: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """(n_docs,) uint64 SimHash: bit j set iff >= half the doc's shingle
     hashes have bit j set (ties round up, deterministically).
 
-    64 one-dimensional segmented reductions (shift+mask+reduceat per bit)
-    — an order of magnitude faster than unpacking to a (m, 64) bit matrix
-    and reducing along axis 0, which hits numpy's slow strided reduceat."""
+    64 one-dimensional segmented reductions (shift+mask+reduceat per
+    bit), CACHE-BLOCKED: the shingle array is processed in L2-sized
+    chunks so the 64 bit passes re-read cache, not RAM (the unblocked
+    form moves 64 x the array through memory and starves parallel
+    workers of bandwidth). Per-doc counts accumulate across chunks."""
     n_docs = len(starts)
     if n_docs == 0 or len(hashes) == 0:
         return np.zeros(n_docs, dtype=np.uint64)
     n = len(hashes)
     seg_lens = np.diff(np.append(starts, n)).astype(np.int64)
-    out = np.zeros(n_docs, dtype=np.uint64)
+    counts = np.zeros((64, n_docs), dtype=np.int64)
     one = U64(1)
+    for lo in range(0, n, _SIMHASH_CACHE_CHUNK):
+        hi = min(lo + _SIMHASH_CACHE_CHUNK, n)
+        sub = np.ascontiguousarray(hashes[lo:hi])
+        d0 = int(np.searchsorted(starts, lo, side="right")) - 1
+        d1 = int(np.searchsorted(starts, hi, side="left"))
+        local_starts = (starts[d0:d1] - lo).clip(min=0)
+        for j in range(64):
+            bitj = (sub >> U64(j)) & one
+            counts[j, d0:d1] += np.add.reduceat(bitj, local_starts).astype(np.int64)
+    out = np.zeros(n_docs, dtype=np.uint64)
     for j in range(64):
-        bitj = (hashes >> U64(j)) & one          # uint64 0/1 per shingle
-        cnt = np.add.reduceat(bitj, starts)       # per-doc popcount of bit j
-        majority = (cnt.astype(np.int64) * 2) >= seg_lens
+        majority = (counts[j] * 2) >= seg_lens
         out |= majority.astype(np.uint64) << U64(j)
     return out
 

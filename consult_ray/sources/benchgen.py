@@ -4,31 +4,49 @@ The sf `documents` tables are small (5k rows at sf0.1) — far too small
 for a meaningful throughput/scaling measurement of a pipeline designed
 for 10^12 docs. This module derives a larger corpus FROM the sf table
 (deterministically, seed-free string ops only), preserving the dup-mix
-structure the dedup pipeline exists for:
+structure the dedup pipeline exists for, with CLUSTER SIZES BOUNDED
+INDEPENDENTLY OF THE EXPANSION FACTOR:
 
-    per source doc, EXPAND variants:
-      r == 0       : the original text
-      r % 7 == 1   : exact duplicate              (must co-cluster)
-      r % 7 == 2   : near duplicate (1-token edit) (should co-cluster)
-      otherwise    : unique-ified (distinct tokens appended) (singleton)
+    variants are grouped into windows of 7 (window = r // 7); each
+    window gets its own salted base text, and within a window
+      r % 7 == 0 : the window base            (cluster seed)
+      r % 7 == 1 : exact duplicate of it      (must co-cluster)
+      r % 7 == 2 : near duplicate (1-token edit; should co-cluster)
+      otherwise  : unique-ified (per-doc salt tokens every 4th position
+                   so shingle windows break everywhere — a prefix alone
+                   leaves the body's shingle set intact and LSH correctly
+                   reports it as a near-dup, flooding buckets)
 
-Cluster sizes stay under the bucket cap (1 + 2*EXPAND/7 <= 28 for
-EXPAND <= 94). Output is written once as partitioned parquet and reused
-by both parallelism levels of bench.py --scaling, so the two runs see
-byte-identical input.
+So every true cluster has ~3 members at ANY expand (never near the
+bucket cap of 28), the dup fraction stays ~3/7, and the number of
+clusters scales linearly. Output is written once as partitioned parquet
+and reused by both parallelism levels of bench.py --scaling, so the two
+runs see byte-identical input.
 """
 
 from __future__ import annotations
 
 import os
 
-# bump when the expansion recipe changes so cached corpora regenerate
-CORPUS_VERSION = 2
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+# bump when the expansion recipe changes so cached corpora regenerate
+CORPUS_VERSION = 3
+
+
+def _salt_tokens(toks: list[str], salts: list[str]) -> str:
+    """Insert salts[...] after every 4th token (cycled)."""
+    out = []
+    s = 0
+    for j, tk in enumerate(toks):
+        out.append(tk)
+        if j % 4 == 3:
+            out.append(salts[s % len(salts)])
+            s += 1
+    return " ".join(out)
 
 
 def expand_documents(sf_dir: str, expand: int, out_dir: str, num_files: int = 32) -> str:
@@ -38,44 +56,38 @@ def expand_documents(sf_dir: str, expand: int, out_dir: str, num_files: int = 32
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return pages_dir
-    os.makedirs(pages_dir, exist_ok=True)
 
+    os.makedirs(pages_dir, exist_ok=True)
     src = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     df = src.to_pandas()
-    n = len(df)
+    base_ids = df["doc_id"].to_numpy()
+    token_lists = [t.split(" ") if t else [""] for t in df["text"]]
 
     frames = []
     for r in range(expand):
-        v = pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy() * expand + r,
-            "text": df["text"],
-        })
-        if r == 0:
-            pass
-        elif r % 7 == 1:
-            pass  # exact duplicate (different doc_id)
-        elif r % 7 == 2:
-            # near dup: replace the first token deterministically
-            v["text"] = "ndup" + str(r) + " " + v["text"].str.split(" ", n=1).str[1].fillna("")
+        w = r // 7
+        wtag = f"w{w}"
+        kind = r % 7
+        if kind == 0 or kind == 1:
+            # window base (kind 0) and its exact duplicate (kind 1)
+            texts = [_salt_tokens(toks, [f"{wtag}s{j}" for j in range(3)])
+                     for toks in token_lists]
+        elif kind == 2:
+            # near duplicate of the window base: first token replaced
+            texts = []
+            for toks in token_lists:
+                t2 = [f"nd{w}"] + toks[1:] if len(toks) > 1 else [f"nd{w}"]
+                texts.append(_salt_tokens(t2, [f"{wtag}s{j}" for j in range(3)]))
         else:
-            # unique-ified: salt every 4th token so shingle windows break
-            # everywhere — a prefix/suffix alone leaves the body's shingle
-            # set intact and LSH (correctly) reports the variant as a
-            # near-dup of its base, flooding band buckets
-            tag = f"u{r}"
-
-            def _salt(row):
-                toks = row["text"].split(" ")
-                uid = f"q{row['doc_id']}"
-                out = []
-                for j, tk in enumerate(toks):
-                    out.append(tk)
-                    if j % 4 == 3:
-                        out.append(f"{tag}{uid}x{j}")
-                return " ".join(out)
-
-            v["text"] = v.apply(_salt, axis=1)
-        frames.append(v)
+            # unique: per-doc salts so no two docs share shingle runs
+            texts = [
+                _salt_tokens(toks, [f"u{r}q{int(d)}x{j}" for j in range(4)])
+                for d, toks in zip(base_ids, token_lists)
+            ]
+        frames.append(pd.DataFrame({
+            "doc_id": base_ids * expand + r,
+            "text": texts,
+        }))
 
     all_df = pd.concat(frames, ignore_index=True)
     all_df = all_df.sort_values("doc_id", ignore_index=True)
@@ -86,5 +98,5 @@ def expand_documents(sf_dir: str, expand: int, out_dir: str, num_files: int = 32
         if chunk.num_rows:
             pq.write_table(chunk, os.path.join(pages_dir, f"part-{f:05d}.parquet"))
     with open(marker, "w") as fh:
-        fh.write(f"{len(all_df)} rows, expand={expand}, src={sf_dir}\n")
+        fh.write(f"{len(all_df)} rows, expand={expand}, src={sf_dir}, v={CORPUS_VERSION}\n")
     return pages_dir
