@@ -82,6 +82,11 @@ class PipelineConfig:
     census_mode: str = "sketch"
     cms_width: int = 1 << 20   # cells per depth row; error ~ total_rows/width
     cms_depth: int = 3
+    # hot-key policy: "cap" = keep the bucket_cap smallest doc_ids, drop
+    # the rest (CONSULT-faithful, main_map.cpp:592); "salt" = salted
+    # triangle repartitioning — lossless, every pair still generated,
+    # no partition ever holds one key's full membership
+    hot_policy: str = "cap"
 
     # derived, cached at first use
     _cache: dict = field(default_factory=dict, compare=False, hash=False, repr=False)

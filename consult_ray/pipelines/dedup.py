@@ -167,7 +167,11 @@ def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
         [np.frombuffer(r["sketch"], dtype=np.uint32).reshape(D, W) for r in rows]
     )
     thr = cfg.bucket_cap + 1
-    if int(merged.min(axis=0).max()) < thr:
+    # a key's estimate is the min over its OWN cell per depth row; those
+    # cells sit at different indices, so the only sound early-exit bound
+    # is the global max cell: if even that is under thr, no estimate can
+    # reach thr
+    if int(merged.max()) < thr:
         return bands  # provably no key exceeds the cap
 
     ref = ray.put(merged)
@@ -198,12 +202,85 @@ def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     return cold.union(capped_hot)
 
 
+def salt_hot_buckets(bands: Dataset, cfg: PipelineConfig) -> Dataset:
+    """LOSSLESS hot-key policy: salted repartitioning (north_rule's
+    explicit skew strategy) instead of the reference's drop-past-cap.
+
+    Members of a hot band key are split into S = ceil(est/target) salt
+    groups by hash(doc_id), and each member is REPLICATED into the S
+    triangle buckets (g, j>=g) and (i<=g, g) it participates in — so the
+    downstream band_key self-join still generates every intra-bucket
+    pair, but no single shuffle partition ever holds more than ~2x
+    target rows of one key. Pair duplicates across triangle buckets are
+    collapsed by the connected-components dedup (and must be, before any
+    c>1 distinct-collision count).
+
+    Cold keys pass through with salt 0 and one copy. Detection reuses
+    the CMS grid (deterministic superset, same as the cap path).
+    """
+    import ray
+
+    from consult_ray.functions.sketch import cms_block_counts, cms_estimate, cms_merge
+    from consult_ray.functions.hashing import splitmix64
+
+    W, D, seed = cfg.cms_width, cfg.cms_depth, cfg.seed + 999
+    target = cfg.bucket_cap
+
+    def sk(batch: pa.Table) -> pa.Table:
+        grid = cms_block_counts(
+            batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed
+        )
+        return pa.table({"sketch": pa.array([grid.tobytes()], pa.large_binary())})
+
+    rows = bands.map_batches(sk, batch_format="pyarrow", batch_size=None).take_all()
+    if not rows:
+        return bands.add_column("band_key_salted", lambda b: b["band_key"])
+    merged = cms_merge(
+        [np.frombuffer(r["sketch"], dtype=np.uint32).reshape(D, W) for r in rows]
+    )
+    ref = ray.put(merged)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        grid = ray.get(ref)
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        est = cms_estimate(grid, keys, W, D, seed)
+        S = np.maximum(1, -(-est // target)).astype(np.int64)  # ceil
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        g = (splitmix64(docs.astype(np.uint64)) % S.astype(np.uint64)).astype(np.int64)
+        # replicate row r into buckets (min(g,o), max(g,o)) for o in 0..S-1
+        reps = np.repeat(np.arange(len(keys)), S)
+        other = np.concatenate([np.arange(s) for s in S]) if len(S) else np.empty(0, np.int64)
+        gi = g[reps]
+        lo = np.minimum(gi, other)
+        hi = np.maximum(gi, other)
+        salted = splitmix64(
+            keys[reps].view(np.uint64)
+            ^ splitmix64(lo.astype(np.uint64) * np.uint64(0x1F3) + hi.astype(np.uint64))
+        ).view(np.int64)
+        # S == 1 rows keep their original key (no mixing) so cold keys
+        # shuffle exactly as before
+        plain = S[reps] == 1
+        salted = np.where(plain, keys[reps], salted)
+        out = batch.take(pa.array(reps))
+        return out.set_column(
+            out.schema.get_field_index("band_key"), "band_key", pa.array(salted)
+        )
+
+    return bands.map_batches(salt, batch_format="pyarrow")
+
+
 def capped_band_rows(
     bands: Dataset, cfg: PipelineConfig
 ) -> tuple[Dataset, dict]:
     """Apply the bucket-cap policy per cfg.census_mode; returns the
     capped (materialized) band rows + stats."""
-    stats: dict = {"census_mode": cfg.census_mode}
+    stats: dict = {"census_mode": cfg.census_mode, "hot_policy": cfg.hot_policy}
+    if cfg.hot_policy == "salt":
+        n_before = bands.count()
+        salted = salt_hot_buckets(bands, cfg).materialize()
+        stats["dropped_band_rows"] = 0
+        stats["replicated_band_rows"] = int(salted.count() - n_before)
+        return salted, stats
     if cfg.census_mode == "exact":
         cens = band_key_census(bands, cfg)
         hot, dropped = hot_band_keys(cens, cfg)

@@ -140,14 +140,47 @@ def test_sketch_capping_matches_exact(corpus, ray_session):
     from consult_ray.pipelines.dedup import band_rows, capped_band_rows, fingerprints
 
     docs_tbl, _truth = corpus
-    docs = rd.from_arrow(docs_tbl)
+    # append a boilerplate block so the corpus definitely HAS hot keys
+    # (a hot-key-free corpus would vacuously pass)
+    n0 = docs_tbl.num_rows
+    base = "boilerplate " * 100
+    hot_tbl = pa.table({
+        "doc_id": pa.array(np.arange(n0, n0 + 120)),
+        "text": pa.array([base + f"tail{i}" for i in range(120)]),
+    })
+    docs = rd.from_arrow(pa.concat_tables(
+        [docs_tbl.select(["doc_id", "text"]), hot_tbl]
+    ))
     cfg_exact = dataclasses.replace(CFG, census_mode="exact")
     cfg_sketch = dataclasses.replace(CFG, census_mode="sketch")
     bands = band_rows(fingerprints(docs, CFG), CFG).materialize()
     capped_e, stats_e = capped_band_rows(bands, cfg_exact)
     capped_s, stats_s = capped_band_rows(bands, cfg_sketch)
+    assert stats_e["dropped_band_rows"] > 0
     assert stats_e["dropped_band_rows"] == stats_s["dropped_band_rows"]
     key = ["band_kind", "band", "band_key", "doc_id"]
     a = capped_e.to_pandas().sort_values(key, ignore_index=True)
     b = capped_s.to_pandas().sort_values(key, ignore_index=True)
     assert a.equals(b)
+
+
+def test_salted_hot_policy_is_lossless(ray_session):
+    """The salt policy must generate every intra-bucket pair the uncapped
+    run generates (dedup'd), while the cap policy drops past-cap members."""
+    import dataclasses
+
+    base = "boilerplate " * 100
+    texts = [base + f"tail{i}" for i in range(120)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(120)), "text": pa.array(texts)})
+
+    def edge_set(cfg, census=True):
+        edges, _ = dup_edges(rd.from_arrow(tbl), cfg, census=census)
+        df = edges.to_pandas()
+        return set(zip(df.a, df.b))
+
+    cfg_salt = dataclasses.replace(PipelineConfig(), hot_policy="salt")
+    uncapped = edge_set(PipelineConfig(), census=False)
+    salted = edge_set(cfg_salt)
+    capped = edge_set(dataclasses.replace(PipelineConfig(), hot_policy="cap"))
+    assert salted == uncapped, "salting must preserve every pair"
+    assert len(capped) < len(uncapped), "capping must drop pairs here"
