@@ -75,7 +75,9 @@ def _run_bench() -> None:
     assert n_clustered == n_docs
 
     for name in ["lineitem_pricing", "events_hourly", "user_activity_skew",
-                 "exact_dedup_reps", "knn_cosine", "token_stats"]:
+                 "exact_dedup_reps", "knn_cosine", "token_stats",
+                 "events_asof_order", "sessionized_events",
+                 "distinct_users_daily", "nation_order_value"]:
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         if hasattr(res, "count"):

@@ -58,6 +58,14 @@ def q_exact_dedup_reps(sf_dir: str):
     return out.select_columns(["rep_id", "n_dups"])
 
 
+def q_dedup_survivors(sf_dir: str):
+    """Exact-dedup surviving docs (S6/D3 anti-join-writer analog): keep
+    the min doc_id per distinct text, drop the rest."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ops.exact_dedup_survivors(ds, CFG)
+    return out.select_columns(["doc_id"])
+
+
 def q_token_stats(sf_dir: str):
     """Per-doc token/char counts (text analysis op, M5-adjacent)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -338,6 +346,7 @@ from consult_ray.pipelines.extra_queries import EXTRA_ORACLE_SQL, EXTRA_QUERIES
 
 QUERIES = {
     "exact_dedup_reps": q_exact_dedup_reps,
+    "dedup_survivors": q_dedup_survivors,
     "token_stats": q_token_stats,
     "lang_hist": q_lang_hist,
     "source_stats": q_source_stats,
@@ -366,6 +375,10 @@ ORACLE_SQL = {
     "exact_dedup_reps": (
         "SELECT min(doc_id) AS rep_id, count(*) AS n_dups "
         "FROM documents GROUP BY text"
+    ),
+    "dedup_survivors": (
+        "SELECT doc_id FROM documents WHERE doc_id IN "
+        "(SELECT min(doc_id) FROM documents GROUP BY text)"
     ),
     "token_stats": (
         "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "

@@ -85,3 +85,37 @@ def test_splitmix_deterministic_and_mixing():
     b = splitmix64(np.arange(1000, dtype=np.uint64))
     assert np.array_equal(a, b)
     assert len(np.unique(a)) == 1000
+
+
+# --- property tests (hypothesis) -------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    docs=st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=6),
+    k=st.integers(min_value=2, max_value=40),
+)
+def test_rolling_matches_naive_property(docs, k):
+    """For arbitrary byte docs and widths, the vectorized prefix-sum
+    rolling hash must equal the naive per-window polynomial hash; docs
+    shorter than k get exactly one whole-doc fallback hash."""
+    concat, offsets = _pack(docs)
+    hashes, doc_ids = rolling_shingle_hashes(concat, offsets, k)
+    for i, d in enumerate(docs):
+        got = hashes[doc_ids == i].tolist()
+        if len(d) >= k:
+            assert got == _naive_window_hashes(d, k), (i, d, k)
+        else:
+            assert len(got) == 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=200))
+def test_splitmix64_bijective_property(vals):
+    """SplitMix64 is a bijection on uint64: distinct inputs give
+    distinct outputs."""
+    x = np.array(vals, dtype=np.uint64)
+    assert len(np.unique(splitmix64(np.unique(x)))) == len(np.unique(x))
