@@ -48,8 +48,10 @@ def _mark_complete(path: str) -> None:
         f.write(str(time.time()))
 
 
-def _write_checkpoint(ds: Dataset, path: str) -> int:
-    """Atomic checkpoint: write to tmp dir, rename, mark. Returns rows."""
+def _write_checkpoint(ds: Dataset, path: str) -> tuple[int, list[dict]]:
+    """Atomic checkpoint: write to tmp dir, rename, mark. Returns
+    (total rows, per-partition records) — one record per output parquet
+    file (= one per block), the north_rule's per-partition lineage."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -57,10 +59,19 @@ def _write_checkpoint(ds: Dataset, path: str) -> int:
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
-    rows = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-               for f in os.listdir(path) if f.endswith(".parquet"))
+    parts = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, f)
+        md = pq.ParquetFile(fp).metadata
+        parts.append({
+            "file": f,
+            "rows": int(md.num_rows),
+            "bytes": int(os.path.getsize(fp)),
+        })
     _mark_complete(path)
-    return rows
+    return sum(p["rows"] for p in parts), parts
 
 
 class CheckpointedDedupPipeline:
@@ -70,7 +81,8 @@ class CheckpointedDedupPipeline:
     lineage rows. `run()` returns a dict of output dataset handles.
     """
 
-    STAGES = ("fingerprints", "bands", "edges", "labels", "clusters")
+    STAGES = ("fingerprints", "bands", "edges", "labels", "clusters",
+              "substring", "survivors")
 
     def __init__(self, workdir: str, cfg: PipelineConfig | None = None,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -109,6 +121,20 @@ class CheckpointedDedupPipeline:
         keys = ["stage", "rows_out", "wall_s", "skipped", "ts", "checkpoint_path"]
         return pa.table({k: pa.array([r.get(k) for r in recs]) for k in keys})
 
+    def partition_lineage_table(self) -> pa.Table:
+        """Per-partition lineage rows (stage, partition_id, file, rows,
+        bytes) — one per checkpoint parquet file."""
+        recs = []
+        ldir = os.path.join(self.workdir, "lineage")
+        for f in sorted(os.listdir(ldir)):
+            if f.endswith(".partitions.jsonl"):
+                with open(os.path.join(ldir, f)) as fh:
+                    recs.extend(json.loads(line) for line in fh if line.strip())
+        if not recs:
+            return pa.table({"stage": pa.array([], pa.string())})
+        keys = ["stage", "partition_id", "file", "rows", "bytes"]
+        return pa.table({k: pa.array([r.get(k) for r in recs]) for k in keys})
+
     # --- stages ------------------------------------------------------
     def _ckpt(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
@@ -120,8 +146,14 @@ class CheckpointedDedupPipeline:
             return rd.read_parquet(path)
         t0 = time.time()
         ds, extra = build_fn()
-        rows = _write_checkpoint(ds, path)
+        rows, parts = _write_checkpoint(ds, path)
         self._lineage(stage, rows, time.time() - t0, extra=extra)
+        # per-partition lineage: one JSONL line per output parquet file
+        pfile = os.path.join(self.workdir, "lineage",
+                             f"{stage}-{uuid.uuid4().hex[:8]}.partitions.jsonl")
+        with open(pfile, "w") as f:
+            for i, p in enumerate(parts):
+                f.write(json.dumps({"stage": stage, "partition_id": i, **p}) + "\n")
         return rd.read_parquet(path)
 
     def run(self, docs: Dataset) -> dict[str, Dataset]:
@@ -154,11 +186,45 @@ class CheckpointedDedupPipeline:
             lambda: (cluster_mod.assign_clusters(docs, labels, cfg, id_col=self.id_col), {}),
         )
 
+        def build_substring():
+            from consult_ray.stages.substring import substring_dedup_in_clusters
+            from consult_ray.util import resolve_join_partitions
+
+            joined = docs.select_columns([self.id_col, self.text_col]).join(
+                clusters, "inner", resolve_join_partitions(cfg),
+                on=(self.id_col,), right_on=(self.id_col,),
+            )
+            out = substring_dedup_in_clusters(
+                joined, cfg, text_col=self.text_col, id_col=self.id_col
+            )
+            return out.select_columns(
+                [self.id_col, "cluster_id", "substring_dropped"]
+            ), {}
+
+        substring = self._run_stage("substring", build_substring)
+
+        def build_survivors():
+            # cluster label = MIN member id, so the representative is the
+            # row whose doc_id equals its cluster_id; substring-contained
+            # docs are dropped even if representative
+            def keep(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                rep = pc.equal(batch[self.id_col], batch["cluster_id"])
+                ok = pc.and_(rep, pc.invert(batch["substring_dropped"]))
+                return batch.filter(ok).select([self.id_col, "cluster_id"])
+
+            return substring.map_batches(keep, batch_format="pyarrow"), {}
+
+        survivors = self._run_stage("survivors", build_survivors)
+
         return {
             "fingerprints": fp,
             "bands": bands,
             "edges": edges,
             "labels": labels,
             "clusters": clusters,
+            "substring": substring,
+            "survivors": survivors,
             "lineage": rd.from_arrow(self.lineage_table()),
         }

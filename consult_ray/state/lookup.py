@@ -3,23 +3,32 @@
 The reference loads its whole library into RAM once per process
 (/root/reference/main_search.cpp:384-658) and every OpenMP thread probes
 it read-only (bucket scan T5, main_search.cpp:831-874, with the hd()
-predicate and early exit at matched >= c, main_search.cpp:866-894).
+predicate and early exit at matched >= c, main_search.cpp:866-894). Its
+resident layout is CSR: per-bucket offsets into flat encoding arrays
+(new_tag_arr prefix sums, /root/reference/main_map.cpp:664-682,790-806).
 
-Ray recast: the library is a dict band_key -> (doc_ids, simhashes)
-capped at bucket_cap entries, built once from a corpus Dataset, put in
-the object store ONCE (ray.put), and shared zero-copy-ish by every actor
-of a map_batches actor pool. Query docs stream through the pool; each
-batch is fingerprinted and probed vectorized. Classified/unclassified
-output is the semi/anti-join split (S6/D3 analog,
-main_search.cpp:1021-1045).
+Ray recast, same shape: the library is a CSR band table — a sorted
+band-key array, per-bucket offsets, and flat member doc/simhash arrays,
+each bucket capped at bucket_cap entries (main_map.cpp:592's analog,
+deterministic min-doc_id keep). It is built once from a corpus Dataset,
+put in the object store ONCE (ray.put; numpy arrays are zero-copy on
+ray.get), and shared by every actor of a map_batches actor pool. Query
+docs stream through the pool; each batch is fingerprinted and probed
+with fully vectorized searchsorted + segment expansion + popcount — no
+Python loop per row. Classified/unclassified output is the semi/anti-
+join split (S6/D3 analog, main_search.cpp:1021-1045).
 
 Scale note: at 10^12 docs the band table cannot be a single broadcast
-dict — the scale path is the shuffle join in pipelines.dedup. This actor
-pool is for the CONSULT workload shape: a bounded reference library +
-a large query stream (incremental dedup against a fixed corpus).
+array set — the scale path is the shuffle join in pipelines.dedup. This
+actor pool is for the CONSULT workload shape: a bounded reference
+library + a large query stream (incremental dedup against a fixed
+corpus); at multi-node scale each actor holds one key-range partition
+of the CSR arrays (the tag prefix routing of main_map.cpp:578-584).
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -34,11 +43,33 @@ from consult_ray.stages.bands import band_rows_batch
 from consult_ray.stages.fingerprint import fingerprint_batch
 
 
+@dataclass(frozen=True)
+class BandTableCSR:
+    """CSR band table: bucket i holds members docs[offs[i]:offs[i+1]]."""
+
+    keys: np.ndarray   # int64, sorted unique band keys
+    offs: np.ndarray   # int64, len(keys)+1 prefix offsets
+    docs: np.ndarray   # int64, flat member doc_ids (doc-ordered per bucket)
+    sims: np.ndarray   # uint64, member simhashes aligned with docs
+
+
+def _capped_gather_idx(starts: np.ndarray, sizes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Indices selecting the first min(size, cap) elements of each run,
+    plus the new per-run lengths. Fully vectorized."""
+    keep = np.minimum(sizes, cap)
+    total = int(keep.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), keep
+    ends = np.cumsum(keep)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - keep, keep)
+    return np.repeat(starts, keep) + within, keep
+
+
 def build_band_table(
     corpus: Dataset, cfg: PipelineConfig, kinds: tuple[str, ...] = ("simhash", "minhash")
-) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    """band_key -> (doc_ids[<=C], simhashes[<=C]), deterministic (min
-    doc_ids kept, CONSULT's bucket-cap analog of main_map.cpp:592)."""
+) -> BandTableCSR:
+    """Corpus -> CSR band table, deterministic (min doc_ids kept per
+    bucket, CONSULT's bucket-cap analog of main_map.cpp:592)."""
     fp = fingerprints(corpus, cfg)
     bands = band_rows(fp, cfg, kinds=kinds)
     key_parts, doc_parts, sim_parts = [], [], []
@@ -47,35 +78,30 @@ def build_band_table(
         doc_parts.append(batch["doc_id"].to_numpy(zero_copy_only=False))
         sim_parts.append(batch["simhash"].to_numpy(zero_copy_only=False))
     if not key_parts:
-        return {}
+        e = np.empty(0, dtype=np.int64)
+        return BandTableCSR(e, np.zeros(1, dtype=np.int64), e, e.view(np.uint64))
     keys = np.concatenate(key_parts)
+    docs = np.concatenate(doc_parts)
+    sims = np.concatenate(sim_parts).view(np.uint64)
     # sort by (band_key, doc_id) so each bucket slice is doc-ordered and
     # the cap keeps the C smallest doc_ids deterministically
-    docs = np.concatenate(doc_parts)
-    sims = np.concatenate(sim_parts)
     order = np.lexsort((docs, keys))
     keys, docs, sims = keys[order], docs[order], sims[order]
     uniq, starts = np.unique(keys, return_index=True)
-    bounds = np.append(starts, len(keys))
-    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for i, k in enumerate(uniq.tolist()):
-        lo, hi = int(bounds[i]), min(int(bounds[i + 1]), int(bounds[i]) + cfg.bucket_cap)
-        out[k] = (docs[lo:hi], sims[lo:hi])
-    return out
+    sizes = np.diff(np.append(starts, len(keys)))
+    idx, keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
+    offs = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(keep, out=offs[1:])
+    return BandTableCSR(uniq.astype(np.int64), offs, docs[idx], sims[idx])
 
 
 class BandLookupActor:
-    """Actor-pool stage: classify query docs against a resident band table.
+    """Actor-pool stage: classify query docs against a resident CSR band
+    table.
 
-    __init__ runs once per actor (ray.get of the broadcast table —
+    __init__ runs once per actor (ray.get of the broadcast arrays —
     CONSULT's parallel library load, main_search.cpp:523-658);
-    __call__ probes per batch.
-
-    Usage:
-        table_ref = ray.put(build_band_table(corpus, cfg))
-        out = queries.map_batches(
-            BandLookupActor, fn_constructor_kwargs=dict(table_ref=table_ref, cfg=cfg),
-            batch_format="pyarrow", concurrency=N)
+    __call__ probes per batch, fully vectorized.
 
     Output adds: matched:bool, match_count:int64 (number of band probes
     that found a hamming<=p neighbor — the A4 counter,
@@ -85,39 +111,60 @@ class BandLookupActor:
 
     def __init__(self, table_ref, cfg: PipelineConfig, text_col: str = "text",
                  id_col: str = "doc_id", kinds: tuple[str, ...] = ("simhash", "minhash")):
-        self.table = ray.get(table_ref) if not isinstance(table_ref, dict) else table_ref
+        self.table: BandTableCSR = (
+            ray.get(table_ref) if not isinstance(table_ref, BandTableCSR) else table_ref
+        )
         self.cfg = cfg
         self.text_col = text_col
         self.id_col = id_col
         self.kinds = kinds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
+        cfg, t = self.cfg, self.table
         fp = fingerprint_batch(batch, cfg, text_col=self.text_col, id_col=self.id_col)
         bands = band_rows_batch(fp, cfg, kinds=self.kinds)
 
         n = batch.num_rows
         ids = fp[self.id_col].to_numpy(zero_copy_only=False)
-        pos_of = {int(d): i for i, d in enumerate(ids)}
+        id_to_row = {int(d): i for i, d in enumerate(ids)}
+
+        pkeys = bands["band_key"].to_numpy(zero_copy_only=False)
+        pdocs = bands["doc_id"].to_numpy(zero_copy_only=False)
+        psims = bands["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        # band row -> query row index (vectorized dict-free: band rows are
+        # emitted doc-major per kind, but mixed kinds interleave, so map
+        # through the id order)
+        row_of = np.fromiter((id_to_row[int(d)] for d in pdocs), dtype=np.int64,
+                             count=len(pdocs))
+
         match_count = np.zeros(n, dtype=np.int64)
         match_doc = np.full(n, -1, dtype=np.int64)
 
-        keys = bands["band_key"].to_numpy(zero_copy_only=False)
-        docs = bands["doc_id"].to_numpy(zero_copy_only=False)
-        sims = bands["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        for k, d, s in zip(keys.tolist(), docs.tolist(), sims):
-            entry = self.table.get(k)
-            if entry is None:
-                continue
-            cand_docs, cand_sims = entry
-            ham = popcount64(np.uint64(s) ^ cand_sims.view(np.uint64))
-            ok = (ham <= cfg.hamming_budget) & (cand_docs != d)
-            if ok.any():
-                i = pos_of[int(d)]
-                match_count[i] += 1
-                best = int(cand_docs[ok].min())
-                if match_doc[i] == -1 or best < match_doc[i]:
-                    match_doc[i] = best
+        if len(t.keys) and len(pkeys):
+            pos = np.searchsorted(t.keys, pkeys)
+            pos_c = np.clip(pos, 0, len(t.keys) - 1)
+            hit = t.keys[pos_c] == pkeys
+            starts = t.offs[pos_c]
+            sizes = np.where(hit, t.offs[pos_c + 1] - starts, 0)
+            # expand each probe's candidate range (bounded by bucket_cap)
+            cand_idx, keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
+            probe_of = np.repeat(np.arange(len(pkeys), dtype=np.int64), keep)
+            if len(cand_idx):
+                ham = popcount64(psims[probe_of] ^ t.sims[cand_idx])
+                ok = (ham <= cfg.hamming_budget) & (t.docs[cand_idx] != pdocs[probe_of])
+                if ok.any():
+                    ok_probe = probe_of[ok]
+                    ok_docs = t.docs[cand_idx][ok]
+                    # per-probe any-match -> per-query-row collision count
+                    # (the A4 counter counts BAND probes, not candidates)
+                    uniq_probe = np.unique(ok_probe)
+                    np.add.at(match_count, row_of[uniq_probe], 1)
+                    # min matching corpus doc per query row
+                    rows = row_of[ok_probe]
+                    order = np.lexsort((ok_docs, rows))
+                    r_sorted, d_sorted = rows[order], ok_docs[order]
+                    firsts = np.flatnonzero(np.r_[True, r_sorted[1:] != r_sorted[:-1]])
+                    match_doc[r_sorted[firsts]] = d_sorted[firsts]
 
         matched = match_count >= cfg.collision_threshold
         return (

@@ -79,3 +79,25 @@ def test_interrupted_write_is_invisible(docs, tmp_path):
     assert len(rebuilt) >= 2  # original build + rebuild
     assert os.path.exists(os.path.join(work, "edges", "_SUCCESS"))
     assert out2["clusters"].count() == 150
+
+
+def test_substring_survivors_and_partition_lineage(docs, tmp_path):
+    work = str(tmp_path / "wd")
+    p = CheckpointedDedupPipeline(work, CFG)
+    out = p.run(docs)
+    sub = out["substring"].to_pandas()
+    surv = out["survivors"].to_pandas()
+    # survivors = cluster representatives (doc_id == cluster_id) that are
+    # not substring-contained
+    want = sub[(sub.doc_id == sub.cluster_id) & (~sub.substring_dropped)]
+    assert sorted(surv.doc_id) == sorted(want.doc_id)
+    assert len(surv) < len(sub)  # corpus has dups, so some docs drop
+    # per-partition lineage: every stage has >=1 partition record, and
+    # partition row counts sum to the stage's rows_out
+    plin = p.partition_lineage_table().to_pandas()
+    lin = p.lineage_table().to_pandas()
+    for stage in CheckpointedDedupPipeline.STAGES:
+        stage_parts = plin[plin.stage == stage]
+        assert len(stage_parts) >= 1, stage
+        rows_out = lin[(lin.stage == stage) & (~lin.skipped)].rows_out.iloc[0]
+        assert stage_parts.rows.sum() == rows_out, stage
