@@ -324,6 +324,42 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "features"])
 
 
+def q_media_resize(sf_dir: str):
+    """Multimodal resize plumbing: actor-pool stage over image rows."""
+    from consult_ray.stages.multimodal import (
+        DeterministicFakeResizer,
+        make_fake_media_table,
+    )
+
+    ds = rd.from_arrow(make_fake_media_table(200))
+    out = ds.map_batches(
+        DeterministicFakeResizer,
+        fn_constructor_kwargs=dict(width=224, height=224),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.select_columns(["media_id", "kind", "width", "height"])
+
+
+def q_media_frames(sf_dir: str):
+    """Multimodal frame-sampling plumbing: row-expansion actor pool."""
+    from consult_ray.stages.multimodal import (
+        DeterministicFrameSampler,
+        make_fake_media_table,
+    )
+
+    ds = rd.from_arrow(make_fake_media_table(200))
+    out = ds.map_batches(
+        DeterministicFrameSampler,
+        fn_constructor_kwargs=dict(n_frames=4),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.select_columns(["media_id", "frame_idx", "ts_ms"])
+
+
 def q_minhash_edges(sf_dir: str):
     """MinHash-band-only near-dup edges (the classic b x r LSH path)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -366,6 +402,8 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "lookup_classify": q_lookup_classify,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
     "minhash_edges": q_minhash_edges,
     "simhash_edges": q_simhash_edges,
     **EXTRA_QUERIES,

@@ -90,6 +90,74 @@ class LibraryDecoder:
         raise NotImplementedError
 
 
+class DeterministicFakeResizer:
+    """Actor-pool resize stage (image rows): emits a new payload whose
+    bytes are a deterministic stride-subsample of the original sized to
+    the target dimensions, with width/height updated; non-image rows
+    pass through untouched. A real stage would swap the subsample for a
+    PIL resize — the schema contract and actor shape are identical."""
+
+    def __init__(self, width: int = 224, height: int = 224):
+        self.w, self.h = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        target = self.w * self.h // 256 + 16  # fake encoded size
+        out_payload, out_w, out_h = [], [], []
+        for k, p in zip(kinds, payloads):
+            p = p or b""
+            if k == "image" and len(p):
+                step = max(1, len(p) // target)
+                out_payload.append(p[::step][:target])
+                out_w.append(self.w)
+                out_h.append(self.h)
+            else:
+                out_payload.append(p)
+                out_w.append(-1 if k != "image" else self.w)
+                out_h.append(-1 if k != "image" else self.h)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["payload"] = pa.array(out_payload, pa.large_binary())
+        cols["width"] = pa.array(np.asarray(out_w, dtype=np.int32))
+        cols["height"] = pa.array(np.asarray(out_h, dtype=np.int32))
+        return pa.table(cols)
+
+
+class DeterministicFrameSampler:
+    """Actor-pool frame-sampling stage (video rows): expands each video
+    into n_frames rows (media_id, frame_idx, ts_ms, payload slice) — the
+    row-expansion pattern a real ffmpeg frame grab would use. Non-video
+    rows are dropped (they belong to other branches of the pipeline)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        ids = batch["media_id"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+        for mid, k, p, dur in zip(ids, kinds, payloads, durs):
+            if k != "video":
+                continue
+            p = p or b""
+            dur = max(0, dur or 0)
+            for j in range(self.n_frames):
+                lo = len(p) * j // self.n_frames
+                hi = len(p) * (j + 1) // self.n_frames
+                out["media_id"].append(mid)
+                out["frame_idx"].append(j)
+                out["ts_ms"].append(dur * j // max(1, self.n_frames))
+                out["frame"].append(p[lo:hi])
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+            "ts_ms": pa.array(out["ts_ms"], pa.int32()),
+            "frame": pa.array(out["frame"], pa.large_binary()),
+        })
+
+
 def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
     """Synthetic media table matching MEDIA_SCHEMA for plumbing tests."""
     rng = np.random.default_rng(seed)

@@ -184,3 +184,22 @@ def test_salted_hot_policy_is_lossless(ray_session):
     capped = edge_set(dataclasses.replace(PipelineConfig(), hot_policy="cap"))
     assert salted == uncapped, "salting must preserve every pair"
     assert len(capped) < len(uncapped), "capping must drop pairs here"
+
+
+def test_cluster_ids_invariant_to_input_order(corpus, ray_session):
+    """Permutation invariance (SURVEY §5): shuffling input row order must
+    not change any cluster assignment — labels are min-member ids, so
+    they are order-free, not merely stable up to relabeling."""
+    docs_tbl, _ = corpus
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(docs_tbl.num_rows)
+    shuffled = docs_tbl.take(pa.array(perm))
+
+    def run(tbl):
+        docs = rd.from_arrow(tbl)
+        edges, _ = dup_edges(docs, CFG)
+        labels = connected_components(edges, CFG, mode="driver")
+        df = assign_clusters(docs, labels, CFG).to_pandas()
+        return dict(zip(df.doc_id, df.cluster_id))
+
+    assert run(docs_tbl) == run(shuffled)
