@@ -101,12 +101,34 @@ def _propagate_round(edges: Dataset, labels: Dataset, num_partitions: int) -> Da
     )
 
 
+def _contract_blocks(edges: Dataset) -> Dataset:
+    """Per-block local contraction (the BTS 'local union-find inside the
+    partition' half): each block's edge set is replaced by the star
+    edges (node -> block-local min label) of its own connected
+    components — same connectivity, ≤ #nodes edges per block instead of
+    #edges, and local diameter 1, so the global min-label rounds only
+    pay for CROSS-block structure."""
+
+    def contract(batch: pa.Table) -> pa.Table:
+        from consult_ray.state.unionfind import vectorized_labels
+
+        nodes, labs = vectorized_labels(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+        keep = nodes != labs
+        return pa.table({"a": pa.array(nodes[keep]), "b": pa.array(labs[keep])})
+
+    return edges.map_batches(contract, batch_format="pyarrow")
+
+
 def connected_components_distributed(
     edges: Dataset, cfg: PipelineConfig
 ) -> Dataset:
-    """(a, b) edges -> (node, label) via min-label propagation."""
+    """(a, b) edges -> (node, label) via per-block contraction + global
+    min-label propagation."""
     labels = _edge_nodes(edges).materialize()
-    edges = edges.select_columns(["a", "b"]).materialize()
+    edges = _contract_blocks(edges.select_columns(["a", "b"])).materialize()
     prev_sum = None
     for _ in range(cfg.cc_max_iters):
         labels = _propagate_round(edges, labels, resolve_join_partitions(cfg)).materialize()

@@ -203,3 +203,18 @@ def test_cluster_ids_invariant_to_input_order(corpus, ray_session):
         return dict(zip(df.doc_id, df.cluster_id))
 
     assert run(docs_tbl) == run(shuffled)
+
+
+def test_distributed_cc_chain_across_blocks(ray_session):
+    """A 1000-node path graph split across many blocks: per-block
+    contraction plus global min-label rounds must still converge to one
+    component labeled by the global min node."""
+    n = 1000
+    edges = pa.table({
+        "a": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "b": pa.array(np.arange(1, n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(edges).repartition(10).materialize()
+    dist = connected_components(ds, CFG, mode="distributed").to_pandas()
+    assert len(dist) == n
+    assert set(dist.label) == {0}
