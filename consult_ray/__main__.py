@@ -1,0 +1,90 @@
+"""Job driver: the single `ray job submit` entry point (SURVEY §3.4).
+
+    ray job submit -- python -m consult_ray \
+        --input /data/pages_parquet --workdir /data/dedup_run1 \
+        [--hot-policy cap|salt] [--resume]
+
+Reads the pages Parquet directory (or a documents.parquet with
+doc_id/text), runs the full checkpointed dedup pipeline
+(fingerprints → bands → edges → labels → clusters → substring →
+survivors), and prints a stage/lineage summary. Re-running with the
+same --workdir resumes: completed stages are skipped via their
+_SUCCESS markers (--resume is implied; pass --fresh to wipe first).
+
+Owns its Ray session only when none exists (the driver contract:
+library code never calls ray.init unconditionally).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="consult_ray")
+    ap.add_argument("--input", required=True,
+                    help="parquet file/dir with doc_id + text columns "
+                         "(url-keyed pages tables work via --id-col url)")
+    ap.add_argument("--workdir", required=True, help="checkpoint directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--hot-policy", choices=["cap", "salt"], default="cap")
+    ap.add_argument("--census-mode", choices=["sketch", "exact"], default="sketch")
+    ap.add_argument("--fresh", action="store_true",
+                    help="delete the workdir before running")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="ray.init num_cpus when starting a new local session")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    import dataclasses
+
+    from consult_ray.config import PipelineConfig
+    from consult_ray.pipelines.checkpointed import CheckpointedDedupPipeline
+
+    if args.fresh and os.path.exists(args.workdir):
+        shutil.rmtree(args.workdir)
+
+    cfg = dataclasses.replace(
+        PipelineConfig(), hot_policy=args.hot_policy, census_mode=args.census_mode
+    )
+    docs = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+
+    t0 = time.time()
+    pipe = CheckpointedDedupPipeline(
+        args.workdir, cfg, id_col=args.id_col, text_col=args.text_col
+    )
+    out = pipe.run(docs)
+    n_docs = out["clusters"].count()
+    n_survivors = out["survivors"].count()
+    wall = time.time() - t0
+
+    lin = pipe.lineage_table().to_pandas()
+    print(f"\n== consult_ray dedup run: {n_docs} docs -> "
+          f"{n_survivors} survivors in {wall:.1f}s ==")
+    for _, r in lin.iterrows():
+        mark = "skip" if r["skipped"] else f"{r['wall_s']:.1f}s"
+        print(f"  {r['stage']:<13} rows_out={r['rows_out']:<10} {mark}")
+    print(f"checkpoints + per-partition lineage under {args.workdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
