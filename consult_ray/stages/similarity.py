@@ -107,13 +107,38 @@ def lsh_topk(
     n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_bits: int = 1,
 ) -> pa.Table:
-    """Approximate top-k: score only rows in the query's hyperplane bucket."""
+    """Approximate top-k via MULTI-PROBE LSH: score rows in the query's
+    hyperplane bucket plus every bucket within n_probe_bits sign flips
+    (the standard recall/cost knob — a near neighbor on the wrong side
+    of one hyperplane lands one bit away). The probe set is tiny
+    (1 + C(n_planes, <=n_probe_bits) buckets), so candidates stay a
+    small fraction of the table."""
     q = np.asarray(query, dtype=np.float64)
     rng = np.random.default_rng(cfg.seed + 77)
     planes = rng.standard_normal((len(q), n_planes))
     signs = (q @ planes) >= 0
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     qbucket = int((signs.astype(np.int64) * weights).sum())
-    cand = embeddings_bucketed.filter(expr=f"bucket == {qbucket}")
+    probes = {qbucket}
+    if n_probe_bits >= 1:
+        for i in range(n_planes):
+            probes.add(qbucket ^ (1 << i))
+    if n_probe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    probe_arr = np.fromiter(probes, dtype=np.int64)
+
+    import ray as _ray
+
+    ref = _ray.put(probe_arr)
+
+    def in_probes(batch: pa.Table) -> pa.Table:
+        ps = _ray.get(ref)
+        mask = np.isin(batch["bucket"].to_numpy(zero_copy_only=False), ps)
+        return batch.filter(pa.array(mask))
+
+    cand = embeddings_bucketed.map_batches(in_probes, batch_format="pyarrow")
     return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
