@@ -1,4 +1,5 @@
-"""Count-min sketch for distributed heavy-hitter (hot band key) detection.
+"""Count-min sketch (Cormode & Muthukrishnan 2005) for distributed
+heavy-hitter (hot band key) detection.
 
 The exact bucket-occupancy census (A3 analog,
 /root/reference/main_map.cpp:1167-1197) is a full groupby over every

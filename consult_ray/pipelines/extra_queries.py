@@ -62,25 +62,67 @@ def q_deterministic_sample(sf_dir: str):
 # --- multi-way join (revenue per nation) -----------------------------
 
 def q_nation_order_value(sf_dir: str):
-    """customer JOIN orders JOIN nation -> total order value per nation:
-    two hash joins (large-large) sized via resolve_join_partitions, then
-    a pre-aggregated groupby."""
+    """orders ⋈ customer ⋈ nation -> total order value per nation.
+
+    Scale plan: orders pre-aggregate per custkey FIRST (the join input
+    shrinks from one row per order to one per customer), ONE hash join
+    against customer, and nation resolves via a ray.put broadcast dict
+    inside map_batches — the small side never shuffles."""
+    import ray
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    np_ = resolve_join_partitions(CFG)
-    co = orders.join(cust, "inner", np_, on=("o_custkey",), right_on=("c_custkey",))
-    con = co.join(nation, "inner", np_, on=("c_nationkey",), right_on=("n_nationkey",))
-    agg = con.groupby("n_name").aggregate(
-        Sum("o_totalprice", alias_name="total_value"), Count(alias_name="n_orders")
+    nation_tbl = pa.concat_tables(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    nation_ref = ray.put(dict(zip(
+        nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist()
+    )))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            total_value=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_value", alias_name="total_value"),
+                   Sum("n_orders", alias_name="n_orders"))
+    )
+    joined = per_cust.join(
+        cust, "inner", resolve_join_partitions(CFG),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        names = ray.get(nation_ref)
+        keys = batch["c_nationkey"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[k] for k in keys], pa.string()),
+            "total_value": batch["total_value"],
+            "n_orders": batch["n_orders"],
+        })
+
+    agg = (
+        joined.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("total_value", alias_name="total_value"),
+                   Sum("n_orders", alias_name="n_orders"))
     )
 
     def final_round(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index("total_value")
-        return batch.set_column(
+        out = batch.set_column(
             i, "total_value",
             pc.round(batch["total_value"], ndigits=2, round_mode="half_towards_infinity"),
         )
+        j = out.schema.get_field_index("n_orders")
+        return out.set_column(j, "n_orders", out["n_orders"].cast(pa.int64()))
 
     return agg.map_batches(final_round, batch_format="pyarrow")
 
