@@ -222,6 +222,46 @@ def q_top_users_by_value(sf_dir: str):
     return agg.sort(["total_cents", "user_id"], descending=[True, False]).limit(20)
 
 
+def q_events_sliding_3h(sf_dir: str):
+    """Sliding-window aggregate: hourly event counts with a 3-hour
+    trailing-window sum per event type. The tumbling aggregate shrinks
+    the data to one row per (type, hour) FIRST; the window pass then
+    runs per type in map_groups over that tiny table — the standard
+    two-level plan for sliding windows over high-volume streams."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    hourly = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def window(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("hour", "ascending")])
+        g = g.take(order)
+        hours = g["hour"].to_numpy(zero_copy_only=False).astype("datetime64[h]").astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        # trailing 3h (current + 2 previous CALENDAR hours, gaps count 0)
+        csum = np.concatenate([[0], np.cumsum(n)])
+        lo = np.searchsorted(hours, hours - 2, side="left")
+        n3 = csum[np.arange(len(n)) + 1] - csum[lo]
+        return pa.table({
+            "event_type": g["event_type"],
+            "hour": g["hour"],
+            "n": g["n"],
+            "n_3h": pa.array(n3.astype(np.int64)),
+        })
+
+    return hourly.groupby("event_type").map_groups(window, batch_format="pyarrow")
+
+
 def q_events_asof_order(sf_dir: str):
     """As-of join (an operator Ray Data lacks): each event matched to the
     latest order of the same user at or before the event time."""
@@ -320,6 +360,7 @@ EXTRA_QUERIES = {
     "distinct_users_daily": q_distinct_users_daily,
     "top_users_by_value": q_top_users_by_value,
     "events_asof_order": q_events_asof_order,
+    "events_sliding_3h": q_events_sliding_3h,
     "ngram_jaccard_doc0": q_ngram_jaccard_doc0,
     "embedding_dup_pairs": q_embedding_dup_pairs,
 }
@@ -356,6 +397,14 @@ EXTRA_ORACLE_SQL = {
         "SELECT e.event_id, o.o_orderdate AS asof_date "
         "FROM events e ASOF JOIN orders o "
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "events_sliding_3h": (
+        "SELECT event_type, hour, n, CAST(sum(n) OVER ("
+        "PARTITION BY event_type ORDER BY hour "
+        "RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW"
+        ") AS BIGINT) AS n_3h FROM ("
+        "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n "
+        "FROM events GROUP BY 1, 2)"
     ),
     "ngram_jaccard_doc0": (
         "WITH nums AS (SELECT CAST(range AS INT) AS i FROM range(1, 65537)), "

@@ -218,3 +218,29 @@ def test_distributed_cc_chain_across_blocks(ray_session):
     dist = connected_components(ds, CFG, mode="distributed").to_pandas()
     assert len(dist) == n
     assert set(dist.label) == {0}
+
+
+def test_collision_threshold_filters_edges(ray_session):
+    """c>1 keeps only pairs colliding in >= c distinct band probes (the
+    A4 counter, main_search.cpp:883-894): a strict subset of c=1 edges,
+    and exactly the pairs whose c=1 multiplicity reaches c."""
+    import dataclasses
+
+    c = make_pages_corpus(200, seed=9)
+    tbl = c.pages.append_column("doc_id", pa.array(np.arange(c.pages.num_rows)))
+
+    edges1, _ = dup_edges(rd.from_arrow(tbl), CFG)
+    df1 = edges1.to_pandas()
+    from collections import Counter
+    mult = Counter(zip(df1.a, df1.b))
+
+    cfg2 = dataclasses.replace(CFG, collision_threshold=2)
+    edges2, _ = dup_edges(rd.from_arrow(tbl), cfg2)
+    got2 = set(zip(*[edges2.to_pandas()[k] for k in ("a", "b")]))
+    want2 = {p for p, m in mult.items() if m >= 2}
+    assert got2 == want2 and got2
+    # a threshold above the max multiplicity must drop everything
+    cmax = max(mult.values())
+    cfg_hi = dataclasses.replace(CFG, collision_threshold=cmax + 1)
+    edges_hi, _ = dup_edges(rd.from_arrow(tbl), cfg_hi)
+    assert edges_hi.count() == 0
