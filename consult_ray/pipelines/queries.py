@@ -292,6 +292,25 @@ def q_knn_lsh(sf_dir: str):
     return _round_col(out, "cos_sim", 4)
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (the second ANN scale path beside
+    the hyperplane-LSH variant)."""
+    from consult_ray.stages.similarity import add_ivf_cells, ivf_build_centroids, ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = ivf_build_centroids(ds, CFG, nlist=16)
+    bucketed = add_ivf_cells(ds, cent)
+    q = None
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == 0)[0]
+        if len(hit):
+            q = np.asarray(batch["embedding"].combine_chunks()[int(hit[0])].values, dtype=np.float64)
+            break
+    out = ivf_topk(bucketed, cent, q, k=10, nprobe=4, exclude_ids=frozenset({0}))
+    return _round_col(out, "cos_sim", 4)
+
+
 def q_lookup_classify(sf_dir: str):
     """Stateful band-table membership: second half of the table queried
     against the first half (CONSULT's search workload shape)."""
@@ -400,6 +419,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "substring_dedup": q_substring_dedup,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "lookup_classify": q_lookup_classify,
     "media_features": q_media_features,
     "media_resize": q_media_resize,

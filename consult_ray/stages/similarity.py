@@ -99,6 +99,83 @@ def add_hyperplane_buckets(
     return embeddings.map_batches(bucketize, batch_format="pyarrow")
 
 
+def ivf_build_centroids(
+    embeddings: Dataset,
+    cfg: PipelineConfig,
+    nlist: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(nlist, dim) float64 IVF coarse centroids: seeded k-means (Lloyd)
+    over a bounded driver-side sample. At 10^12 vectors the sample stays
+    bounded (`limit(sample)` streams only that many rows) and assignment
+    is distributed — only the tiny centroid matrix lives on the driver."""
+    rows = embeddings.limit(sample).take_all()
+    m = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    rng = np.random.default_rng(cfg.seed + 1234)
+    cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]
+    for _ in range(iters):
+        sims = m @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def add_ivf_cells(
+    embeddings: Dataset, centroids: np.ndarray, vec_col: str = "embedding"
+) -> Dataset:
+    """Distributed IVF assignment: int32 `ivf_cell` = argmax cosine
+    against the broadcast centroid matrix (ray.put once)."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _embedding_matrix(batch, vec_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((m / norms[:, None]) @ cent.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(
+    embeddings_with_cells: Dataset,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: frozenset[int] = frozenset(),
+) -> pa.Table:
+    """IVF search: score only rows whose cell is among the query's
+    nprobe nearest centroids. nprobe == nlist degenerates to exact."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(centroids @ qn))[:nprobe]
+    probe_ref = ray.put(order.astype(np.int32))
+
+    def in_cells(batch: pa.Table) -> pa.Table:
+        cells = ray.get(probe_ref)
+        mask = np.isin(batch["ivf_cell"].to_numpy(zero_copy_only=False), cells)
+        return batch.filter(pa.array(mask))
+
+    cand = embeddings_with_cells.map_batches(in_cells, batch_format="pyarrow")
+    return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col,
+                            exclude_ids=exclude_ids)
+
+
 def lsh_topk(
     embeddings_bucketed: Dataset,
     query: np.ndarray,

@@ -199,3 +199,36 @@ def test_band_lookup_semi_anti(ray_session):
     assert not out[out.doc_id >= 900].matched.any()
     # match_doc points at a real corpus doc
     assert (out[out.doc_id < 900].match_doc >= 0).all()
+
+
+def test_ivf_full_probe_is_exact(ray_session):
+    """With nprobe == nlist, IVF search degenerates to the exact
+    brute-force top-k; with a small nprobe it still returns k rows and
+    its top hit appears in the exact top-k."""
+    import ray.data as rd
+
+    from consult_ray.config import PipelineConfig
+    from consult_ray.stages.similarity import (
+        add_ivf_cells,
+        brute_force_topk,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    cfg = PipelineConfig()
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    import pyarrow as pa
+    first = next(iter(ds.iter_batches(batch_size=16, batch_format="pyarrow")))
+    q = np.asarray(first["embedding"].combine_chunks()[0].values, dtype=np.float64)
+    qid = int(first["vec_id"][0].as_py())
+
+    cent = ivf_build_centroids(ds, cfg, nlist=8)
+    bucketed = add_ivf_cells(ds, cent).materialize()
+    exact = brute_force_topk(ds, q, k=5, exclude_ids=frozenset({qid}))
+    full = ivf_topk(bucketed, cent, q, k=5, nprobe=8, exclude_ids=frozenset({qid}))
+    assert exact["vec_id"].to_pylist() == full["vec_id"].to_pylist()
+
+    approx = ivf_topk(bucketed, cent, q, k=5, nprobe=2, exclude_ids=frozenset({qid}))
+    assert len(approx) == 5
+    assert approx["vec_id"][0].as_py() in set(exact["vec_id"].to_pylist())
