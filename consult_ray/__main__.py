@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--hot-policy", choices=["cap", "salt"], default="cap")
     ap.add_argument("--census-mode", choices=["sketch", "exact"], default="sketch")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the workdir's checkpoints (the "
+                         "default; flag kept for CLI compatibility)")
     ap.add_argument("--fresh", action="store_true",
                     help="delete the workdir before running")
     ap.add_argument("--num-cpus", type=int, default=None,

@@ -51,6 +51,12 @@ def minhash_signatures(
     n_docs = len(starts)
     P = cfg.num_perm
     assert P & (P - 1) == 0, "num_perm must be a power of two for OPH"
+    # (doc, bin) packs into the top 64 - _OPH_VALUE_BITS bits; a batch
+    # large enough to wrap would scatter minima into wrong rows silently
+    assert n_docs * P < (1 << (64 - _OPH_VALUE_BITS)), (
+        f"batch of {n_docs} docs x {P} bins overflows the OPH key space; "
+        "lower cfg.batch_size"
+    )
     out = np.full((n_docs, P), _OPH_EMPTY, dtype=np.uint64)
     if n_docs == 0 or len(hashes) == 0:
         return out

@@ -204,17 +204,32 @@ class CheckpointedDedupPipeline:
         substring = self._run_stage("substring", build_substring)
 
         def build_survivors():
-            # cluster label = MIN member id, so the representative is the
-            # row whose doc_id equals its cluster_id; substring-contained
-            # docs are dropped even if representative
-            def keep(batch: pa.Table) -> pa.Table:
+            # survivor = MIN doc_id among the cluster's non-substring-
+            # dropped members. NOT "doc_id == cluster_id": the cluster
+            # label is the min member id, and that member may itself be a
+            # proper substring of a larger member (_drop_contained drops
+            # the contained doc regardless of id) — requiring the label to
+            # survive would silently emit zero survivors for such clusters.
+            # Per-batch min pre-agg, then one tiny groupby(cluster_id).
+            from ray.data.aggregate import Min
+
+            def partial(batch: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
 
-                rep = pc.equal(batch[self.id_col], batch["cluster_id"])
-                ok = pc.and_(rep, pc.invert(batch["substring_dropped"]))
-                return batch.filter(ok).select([self.id_col, "cluster_id"])
+                alive = batch.filter(pc.invert(batch["substring_dropped"]))
+                return (
+                    alive.select(["cluster_id", self.id_col])
+                    .group_by("cluster_id")
+                    .aggregate([(self.id_col, "min")])
+                    .rename_columns(["cluster_id", self.id_col])
+                )
 
-            return substring.map_batches(keep, batch_format="pyarrow"), {}
+            agg = (
+                substring.map_batches(partial, batch_format="pyarrow")
+                .groupby("cluster_id")
+                .aggregate(Min(self.id_col, alias_name=self.id_col))
+            )
+            return agg.select_columns([self.id_col, "cluster_id"]), {}
 
         survivors = self._run_stage("survivors", build_survivors)
 

@@ -212,8 +212,9 @@ def salt_hot_buckets(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     downstream band_key self-join still generates every intra-bucket
     pair, but no single shuffle partition ever holds more than ~2x
     target rows of one key. Pair duplicates across triangle buckets are
-    collapsed by the connected-components dedup (and must be, before any
-    c>1 distinct-collision count).
+    harmless at c=1 (connected components ignores edge multiplicity) and
+    are collapsed on (a, b, band_kind, band) by pair_count_threshold
+    before any c>1 distinct-collision count.
 
     Cold keys pass through with salt 0 and one copy. Detection reuses
     the CMS grid (deterministic superset, same as the cap path).
@@ -320,11 +321,20 @@ def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
         sb = batch["simhash_r"].to_numpy(zero_copy_only=False)[keep].view(np.uint64)
         ham = popcount64(sa ^ sb)
         ok = ham <= p
+        # band identity (kind, band index) rides along: with
+        # hot_policy="salt" one band collision appears in several salted
+        # triangle buckets, and c>1 must count DISTINCT band collisions
+        # (salt_hot_buckets docstring contract) — the left side's values
+        # equal the right side's because band_key determines (kind, band)
+        kind = batch["band_kind_l"].to_numpy(zero_copy_only=False)[keep][ok]
+        band = batch["band_l"].to_numpy(zero_copy_only=False)[keep][ok]
         return pa.table(
             {
                 "a": pa.array(a[ok]),
                 "b": pa.array(b[ok]),
                 "hamming": pa.array(ham[ok].astype(np.int8)),
+                "band_kind": pa.array(kind),
+                "band": pa.array(band),
             }
         )
 
@@ -332,26 +342,46 @@ def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
 
 
 def pair_count_threshold(edges: Dataset, cfg: PipelineConfig) -> Dataset:
-    """Keep pairs seen in >= c distinct band collisions (A4 analog,
-    /root/reference/main_search.cpp:883-894). Identity at c=1 — the
-    pair-key groupby (a second all-to-all) only runs when c > 1."""
+    """Keep pairs seen in >= c DISTINCT band collisions (A4 analog,
+    /root/reference/main_search.cpp:883-894). A projection at c=1 — the
+    pair-key groupbys (extra all-to-alls) only run when c > 1.
+
+    Distinctness matters under hot_policy="salt": a single band collision
+    in a hot bucket is replicated into S triangle buckets, so raw edge
+    multiplicity would overcount by up to S. Edges are first collapsed on
+    (a, b, band_kind, band) — within which each pair can legitimately
+    appear only once, since every doc emits exactly one row per band —
+    then counted per (a, b). Both groupby partials are Arrow-native
+    (pa.Table.group_by), no pandas round-trip."""
     if cfg.collision_threshold <= 1:
-        return edges
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        g = df.groupby(["a", "b"], as_index=False).agg(
-            n=("hamming", "size"), hamming=("hamming", "min")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return edges.select_columns(["a", "b", "hamming"])
 
     from ray.data.aggregate import Min
 
-    partials = edges.map_batches(partial, batch_format="pyarrow")
-    counted = partials.groupby(["a", "b"]).aggregate(
-        Sum("n", alias_name="n"), Min("hamming", alias_name="hamming")
+    BAND_KEYS = ["a", "b", "band_kind", "band"]
+
+    def dedupe_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(BAND_KEYS + ["hamming"]).group_by(BAND_KEYS).aggregate(
+            [("hamming", "min")]
+        )
+        return g.rename_columns(BAND_KEYS + ["hamming"])
+
+    deduped = (
+        edges.map_batches(dedupe_partial, batch_format="pyarrow")
+        .groupby(BAND_KEYS)
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["a", "b"]).aggregate(
+            [("hamming", "min"), ("hamming", "count")]
+        )
+        return g.rename_columns(["a", "b", "hamming", "n"])
+
+    counted = (
+        deduped.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"), Min("hamming", alias_name="hamming"))
     )
     return counted.filter(expr=f"n >= {cfg.collision_threshold}").select_columns(
         ["a", "b", "hamming"]

@@ -66,8 +66,10 @@ def q_nation_order_value(sf_dir: str):
 
     Scale plan: orders pre-aggregate per custkey FIRST (the join input
     shrinks from one row per order to one per customer), ONE hash join
-    against customer, and nation resolves via a ray.put broadcast dict
-    inside map_batches — the small side never shuffles."""
+    against customer, and nation resolves via a ray.put broadcast lookup
+    array inside map_batches — the small side never shuffles. Money is
+    integer cents per row before summing (associative, bit-exact vs the
+    oracle at any partition order); partials are Arrow-native."""
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -77,21 +79,31 @@ def q_nation_order_value(sf_dir: str):
             batch_size=1 << 20, batch_format="pyarrow"
         )
     )
-    nation_ref = ray.put(dict(zip(
-        nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist()
-    )))
+    # dense lookup array indexed by nationkey (keys are small ints)
+    nkeys = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False)
+    names_by_key = np.empty(int(nkeys.max()) + 1, dtype=object)
+    names_by_key[nkeys] = nation_tbl["n_name"].to_pylist()
+    nation_ref = ray.put(names_by_key)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("o_custkey", as_index=False).agg(
-            total_value=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.table({
+            "o_custkey": batch["o_custkey"],
+            "total_cents": cents,
+            "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        }).group_by("o_custkey").aggregate([
+            ("total_cents", "sum"), ("n_orders", "sum")
+        ])
+        return g.rename_columns(["o_custkey", "total_cents", "n_orders"])
 
     per_cust = (
         orders.map_batches(partial, batch_format="pyarrow")
         .groupby("o_custkey")
-        .aggregate(Sum("total_value", alias_name="total_value"),
+        .aggregate(Sum("total_cents", alias_name="total_cents"),
                    Sum("n_orders", alias_name="n_orders"))
     )
     joined = per_cust.join(
@@ -101,30 +113,19 @@ def q_nation_order_value(sf_dir: str):
 
     def add_nation(batch: pa.Table) -> pa.Table:
         names = ray.get(nation_ref)
-        keys = batch["c_nationkey"].to_pylist()
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "n_name": pa.array([names[k] for k in keys], pa.string()),
-            "total_value": batch["total_value"],
+            "n_name": pa.array(names[keys], pa.string()),
+            "total_cents": batch["total_cents"],
             "n_orders": batch["n_orders"],
         })
 
-    agg = (
+    return (
         joined.map_batches(add_nation, batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Sum("total_value", alias_name="total_value"),
+        .aggregate(Sum("total_cents", alias_name="total_cents"),
                    Sum("n_orders", alias_name="n_orders"))
     )
-
-    def final_round(batch: pa.Table) -> pa.Table:
-        i = batch.schema.get_field_index("total_value")
-        out = batch.set_column(
-            i, "total_value",
-            pc.round(batch["total_value"], ndigits=2, round_mode="half_towards_infinity"),
-        )
-        j = out.schema.get_field_index("n_orders")
-        return out.set_column(j, "n_orders", out["n_orders"].cast(pa.int64()))
-
-    return agg.map_batches(final_round, batch_format="pyarrow")
 
 
 # --- minimizer (M1 analog) -------------------------------------------
@@ -210,9 +211,10 @@ def q_top_users_by_value(sf_dir: str):
                      round_mode="half_towards_infinity"),
             pa.int64(),
         )
-        df = pa.table({"user_id": batch["user_id"], "total_cents": cents}).to_pandas()
-        g = df.groupby("user_id", as_index=False)["total_cents"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.table({"user_id": batch["user_id"], "total_cents": cents}).group_by(
+            "user_id"
+        ).aggregate([("total_cents", "sum")])
+        return g.rename_columns(["user_id", "total_cents"])
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -389,7 +391,10 @@ EXTRA_ORACLE_SQL = {
         "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
     ),
     "top_users_by_value": (
-        "SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS total_cents "
+        # outer CAST: duckdb sum(BIGINT) -> HUGEINT -> pandas float,
+        # which hash-mismatches the engine's int64
+        "SELECT user_id, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM events GROUP BY user_id "
         "ORDER BY total_cents DESC, user_id LIMIT 20"
     ),
@@ -430,8 +435,9 @@ EXTRA_ORACLE_SQL = {
         "CAST(b.embedding AS DOUBLE[])) >= 0.35"
     ),
     "nation_order_value": (
-        "SELECT n.n_name, round(sum(o.o_totalprice), 2) AS total_value, "
-        "count(*) AS n_orders "
+        "SELECT n.n_name, "
+        "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents, count(*) AS n_orders "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
     ),

@@ -273,13 +273,12 @@ def distinct_count_by(
 
 
 def preagg_group_sum(ds: Dataset, key: str, value: str, out_name: str) -> Dataset:
-    """groupby(key).sum(value) with per-batch combining."""
+    """groupby(key).sum(value) with per-batch combining (Arrow-native —
+    pa.Table.group_by — no pandas round-trip in the partial)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([key, value]).to_pandas()
-        g = df.groupby(key, as_index=False)[value].sum()
-        g.columns = [key, out_name]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.select([key, value]).group_by(key).aggregate([(value, "sum")])
+        return g.rename_columns([key, out_name])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

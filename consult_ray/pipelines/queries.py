@@ -100,46 +100,58 @@ def q_filter_en_long(sf_dir: str):
 
 
 def q_lineitem_pricing(sf_dir: str):
-    """TPC-H Q1-style grouped aggregate with pre-combined partials."""
+    """TPC-H Q1-style grouped aggregate with pre-combined partials.
+
+    Money converts to integer units PER ROW before any sum (qty as-is,
+    disc_price at e4 scale) so the distributed sum is associative and
+    bit-exact vs the oracle regardless of block/partition order — a
+    rounded float sum differs at the last ulp between association orders
+    and flakes a bitwise value-hash comparison. The partial combine is
+    Arrow-native (pa.Table.group_by), no pandas round-trip."""
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    KEYS = ["l_returnflag", "l_linestatus"]
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
         disc_price = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        df = pa.table(
+        disc_e4 = pc.cast(
+            pc.round(pc.multiply(disc_price, pa.scalar(10000.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        qty = pc.cast(
+            pc.round(batch["l_quantity"], round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "sum_qty": batch["l_quantity"],
-                "sum_disc_price": disc_price,
+                "sum_qty": qty,
+                "sum_disc_price_e4": disc_e4,
                 "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
             }
-        ).to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        ).group_by(KEYS).aggregate([
+            ("sum_qty", "sum"), ("sum_disc_price_e4", "sum"), ("n", "sum")
+        ])
+        return g.rename_columns(KEYS + ["sum_qty", "sum_disc_price_e4", "n"])
 
-    agg = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(KEYS)
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
             Sum("n", alias_name="n"),
         )
     )
-
-    def final_round(batch: pa.Table) -> pa.Table:
-        batch = _round_col(batch, "sum_qty", 2)
-        return _round_col(batch, "sum_disc_price", 2)
-
-    return agg.map_batches(final_round, batch_format="pyarrow")
 
 
 def q_events_hourly(sf_dir: str):
@@ -149,17 +161,23 @@ def q_events_hourly(sf_dir: str):
 
     def add_hour(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
+        # per-row integer cents: the distributed sum stays associative
+        # and bit-exact vs the oracle at any partition order
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
         return pa.table(
-            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"],
+            {"event_type": batch["event_type"], "hour": hour, "sum_cents": cents,
              "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
         )
 
-    agg = (
+    return (
         ds.map_batches(add_hour, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
     )
-    return agg.map_batches(lambda b: _round_col(b, "sum_value", 2), batch_format="pyarrow")
 
 
 def q_user_activity_skew(sf_dir: str):
@@ -444,7 +462,10 @@ ORACLE_SQL = {
     ),
     "lang_hist": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "source_stats": (
-        "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        # CAST: duckdb sum(BIGINT) -> HUGEINT -> pandas float, which
+        # hash-mismatches the engine's int64 even when values agree
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
         "FROM documents GROUP BY source"
     ),
     "filter_en_long": (
@@ -452,16 +473,20 @@ ORACLE_SQL = {
         "WHERE lang = 'en' AND n_chars >= 200"
     ),
     "lineitem_pricing": (
+        # integer-scaled per-row before summing (see q_lineitem_pricing);
+        # outer CASTs: duckdb sum(BIGINT) is HUGEINT
         "SELECT l_returnflag, l_linestatus, "
-        "round(sum(l_quantity), 2) AS sum_qty, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) "
+        "AS BIGINT)) AS BIGINT) AS sum_disc_price_e4, "
         "count(*) AS n "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus"
     ),
     "events_hourly": (
         "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
-        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM events GROUP BY 1, 2"
     ),
     "user_activity_skew": (
         "SELECT n_events, count(*) AS n_users FROM ("

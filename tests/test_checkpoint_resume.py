@@ -87,10 +87,11 @@ def test_substring_survivors_and_partition_lineage(docs, tmp_path):
     out = p.run(docs)
     sub = out["substring"].to_pandas()
     surv = out["survivors"].to_pandas()
-    # survivors = cluster representatives (doc_id == cluster_id) that are
-    # not substring-contained
-    want = sub[(sub.doc_id == sub.cluster_id) & (~sub.substring_dropped)]
-    assert sorted(surv.doc_id) == sorted(want.doc_id)
+    # survivor = min doc_id among the cluster's non-substring-dropped
+    # members (NOT doc_id == cluster_id: the min-id member may itself be
+    # substring-dropped)
+    want = sub[~sub.substring_dropped].groupby("cluster_id")["doc_id"].min()
+    assert sorted(surv.doc_id) == sorted(want)
     assert len(surv) < len(sub)  # corpus has dups, so some docs drop
     # per-partition lineage: every stage has >=1 partition record, and
     # partition row counts sum to the stage's rows_out
@@ -101,3 +102,31 @@ def test_substring_survivors_and_partition_lineage(docs, tmp_path):
         assert len(stage_parts) >= 1, stage
         rows_out = lin[(lin.stage == stage) & (~lin.skipped)].rows_out.iloc[0]
         assert stage_parts.rows.sum() == rows_out, stage
+
+
+def test_survivor_when_cluster_label_is_substring(ray_session, tmp_path):
+    """Regression: if the cluster's min-id member (= the cluster label) is
+    a proper substring of a larger member, the substring stage drops it —
+    the survivor must then be the superstring doc, not nothing."""
+    rng = np.random.default_rng(7)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    base = " ".join(rng.choice(words, size=400))
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            base,                             # min id, proper substring of doc 1
+            base + " unique closing remark",  # superstring near-dup
+            "a completely different tiny document about nothing at all "
+            "with no overlap whatsoever in its shingles " * 5,
+        ]),
+    })
+    work = str(tmp_path / "wd")
+    out = CheckpointedDedupPipeline(work, CFG).run(rd.from_arrow(tbl))
+    sub = out["substring"].to_pandas().sort_values("doc_id")
+    # preconditions: 0 and 1 co-cluster under label 0, and 0 was dropped
+    assert list(sub[sub.cluster_id == 0].doc_id) == [0, 1]
+    assert bool(sub[sub.doc_id == 0].substring_dropped.iloc[0])
+    surv = out["survivors"].to_pandas()
+    got = dict(zip(surv.cluster_id, surv.doc_id))
+    assert got[0] == 1, "superstring member must survive for cluster 0"
+    assert got[2] == 2

@@ -244,3 +244,33 @@ def test_collision_threshold_filters_edges(ray_session):
     cfg_hi = dataclasses.replace(CFG, collision_threshold=cmax + 1)
     edges_hi, _ = dup_edges(rd.from_arrow(tbl), cfg_hi)
     assert edges_hi.count() == 0
+
+
+def test_collision_threshold_with_salted_hot_buckets(ray_session):
+    """Regression for the salt + c>1 interaction: a band collision in a
+    hot bucket is replicated into S triangle buckets, and the c>1 count
+    must collapse those duplicates — the (a, b, band_kind, band) dedup in
+    pair_count_threshold. The salted c=2 edge set must equal the
+    uncapped (no census) c=2 edge set exactly."""
+    import dataclasses
+
+    base = "boilerplate " * 100
+    texts = [base + f"tail{i}" for i in range(120)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(120)), "text": pa.array(texts)})
+
+    def edge_set(cfg, census=True):
+        edges, _ = dup_edges(rd.from_arrow(tbl), cfg, census=census)
+        df = edges.to_pandas()
+        return set(zip(df.a, df.b))
+
+    cfg_c2 = dataclasses.replace(PipelineConfig(), collision_threshold=2)
+    cfg_salt_c2 = dataclasses.replace(
+        PipelineConfig(), hot_policy="salt", collision_threshold=2
+    )
+    uncapped_c2 = edge_set(cfg_c2, census=False)
+    salted_c2 = edge_set(cfg_salt_c2)
+    assert uncapped_c2, "fixture must produce multi-band collisions"
+    assert salted_c2 == uncapped_c2, (
+        "salted triangle duplicates must not inflate the distinct band "
+        "collision count"
+    )
