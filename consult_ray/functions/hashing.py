@@ -53,6 +53,40 @@ def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
     return int(splitmix64(h)[()])
 
 
+def hash_bytes_batch_u64(
+    concat: np.ndarray, offsets: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """Whole-string hash for every doc in a batch, fully vectorized —
+    bit-identical to hash_bytes_u64 per doc (same prefix-sum formulation
+    as rolling_shingle_hashes with the window = the whole doc). This is
+    the exact-dedup content key; the per-row Python-loop form it
+    replaces was the hottest non-vectorized stage in the repo.
+
+    Args:
+        concat: uint8 array, concatenated UTF-8 bytes of all docs.
+        offsets: int64 array of length n_docs+1.
+    Returns:
+        uint64 array of per-doc hashes.
+    """
+    lens = np.diff(offsets).astype(np.int64)
+    total = int(offsets[-1])
+    with np.errstate(over="ignore"):
+        data = concat[:total].astype(np.uint64)
+        inv_pows = _powers(ROLL_BASE_INV, total)
+        S = np.empty(total + 1, dtype=np.uint64)
+        S[0] = U64(0)
+        np.cumsum(data * inv_pows, out=S[1:])
+        pows = _powers(ROLL_BASE, total + 1)
+        lo = offsets[:-1].astype(np.int64)
+        hi = offsets[1:].astype(np.int64)
+        # sum_j data[j] * BASE^{len-1-(j-lo)} = BASE^{hi-1} * (S[hi]-S[lo])
+        body = np.where(
+            lens > 0, pows[np.maximum(hi - 1, 0)] * (S[hi] - S[lo]), U64(0)
+        )
+        header = (U64(seed) + lens.astype(np.uint64)) * pows[lens]
+        return splitmix64(header + body)
+
+
 def _pow_mod64(base: np.uint64, n: int) -> np.uint64:
     return U64(pow(int(base), n, 2**64))
 

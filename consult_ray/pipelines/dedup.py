@@ -135,6 +135,83 @@ def cap_hot_buckets(bands: Dataset, cfg: PipelineConfig, hot_keys: set[int]) -> 
     return cold.union(capped_hot)
 
 
+_CMS_MERGE_CHUNKS = 64
+# Above this many band rows the per-block grids (~12 MB each at the
+# default width; blocks are ~3M band rows at the 128 MB target block
+# size) would stream an unbounded volume into the driver — switch to the
+# distributed chunked reduce. Below it the driver merge is faster (the
+# groupby machinery has ~2 s of fixed cost) and driver intake is bounded
+# at ~16 blocks x 12 MB.
+_CMS_DRIVER_MERGE_MAX_ROWS = 50_000_000
+
+
+def _merged_cms_grid(bands: Dataset, cfg: PipelineConfig) -> np.ndarray | None:
+    """Global count-min-sketch grid over band_key (int64 (D, W), or None
+    for an empty dataset).
+
+    Small inputs: per-block uint32 grids -> driver sum (bounded intake,
+    see _CMS_DRIVER_MERGE_MAX_ROWS). Large inputs: each block's grid is
+    split into _CMS_MERGE_CHUNKS fixed cell ranges and a
+    groupby(chunk_id) sums each range across blocks inside the shuffle
+    aggregators — a tree reduce; the driver reassembles ONE grid from a
+    constant number of rows regardless of block count."""
+    from consult_ray.functions.sketch import cms_block_counts, cms_merge
+
+    W, D, seed = cfg.cms_width, cfg.cms_depth, cfg.seed + 999
+
+    if bands.count() <= _CMS_DRIVER_MERGE_MAX_ROWS:
+        def sk_full(batch: pa.Table) -> pa.Table:
+            grid = cms_block_counts(
+                batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed
+            )
+            return pa.table({"sketch": pa.array([grid.tobytes()], pa.large_binary())})
+
+        rows = bands.map_batches(
+            sk_full, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        if not rows:
+            return None
+        return cms_merge(
+            [np.frombuffer(r["sketch"], dtype=np.uint32).reshape(D, W) for r in rows]
+        )
+
+    total_cells = D * W
+    bounds = np.linspace(0, total_cells, _CMS_MERGE_CHUNKS + 1).astype(np.int64)
+
+    def sk(batch: pa.Table) -> pa.Table:
+        grid = cms_block_counts(
+            batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed
+        )
+        flat = grid.reshape(-1)  # uint32 in transit: halves shuffle bytes
+        return pa.table({
+            "chunk_id": pa.array(np.arange(_CMS_MERGE_CHUNKS, dtype=np.int64)),
+            "vals": pa.array([flat[bounds[i]: bounds[i + 1]]
+                              for i in range(_CMS_MERGE_CHUNKS)]),
+        })
+
+    def sum_chunk(g: pa.Table) -> pa.Table:
+        arr = g["vals"].combine_chunks()
+        m = np.asarray(arr.flatten(), dtype=np.int64).reshape(g.num_rows, -1)
+        return pa.table({
+            "chunk_id": g["chunk_id"].slice(0, 1),
+            "vals": pa.array([m.sum(axis=0)]),
+        })
+
+    rows = (
+        bands.map_batches(sk, batch_format="pyarrow", batch_size=None)
+        .groupby("chunk_id")
+        .map_groups(sum_chunk, batch_format="pyarrow")
+        .take_all()
+    )
+    if not rows:
+        return None
+    flat = np.empty(total_cells, dtype=np.int64)
+    for r in rows:
+        cid = int(r["chunk_id"])
+        flat[bounds[cid]: bounds[cid + 1]] = r["vals"]
+    return flat.reshape(D, W)
+
+
 def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     """Sketch-based hot-bucket capping: detect heavy band keys with a
     count-min sketch (functions/sketch.py) instead of the exact census
@@ -144,28 +221,17 @@ def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     CMS estimates only overcount, so the candidate set is a deterministic
     superset of the true >cap keys; false positives only route a few
     extra under-cap groups through the capping groupby, where head(C) of
-    a group smaller than C keeps every row. Scale note: the driver merge
-    is a sum of (depth x width) uint32 grids, one per block — at cluster
-    scale width grows with total rows (error ~ rows/width) and the merge
-    becomes a tree reduce; semantics are unchanged."""
+    a group smaller than C keeps every row. The merge is the distributed
+    chunk-wise tree reduce of _merged_cms_grid — the driver never holds
+    per-block grids."""
     import ray
 
-    from consult_ray.functions.sketch import cms_block_counts, cms_estimate, cms_merge
+    from consult_ray.functions.sketch import cms_estimate
 
     W, D, seed = cfg.cms_width, cfg.cms_depth, cfg.seed + 999
-
-    def sk(batch: pa.Table) -> pa.Table:
-        grid = cms_block_counts(
-            batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed
-        )
-        return pa.table({"sketch": pa.array([grid.tobytes()], pa.large_binary())})
-
-    rows = bands.map_batches(sk, batch_format="pyarrow", batch_size=None).take_all()
-    if not rows:
+    merged = _merged_cms_grid(bands, cfg)
+    if merged is None:
         return bands
-    merged = cms_merge(
-        [np.frombuffer(r["sketch"], dtype=np.uint32).reshape(D, W) for r in rows]
-    )
     thr = cfg.bucket_cap + 1
     # a key's estimate is the min over its OWN cell per depth row; those
     # cells sit at different indices, so the only sound early-exit bound
@@ -221,24 +287,15 @@ def salt_hot_buckets(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     """
     import ray
 
-    from consult_ray.functions.sketch import cms_block_counts, cms_estimate, cms_merge
+    from consult_ray.functions.sketch import cms_estimate
     from consult_ray.functions.hashing import splitmix64
 
     W, D, seed = cfg.cms_width, cfg.cms_depth, cfg.seed + 999
     target = cfg.bucket_cap
 
-    def sk(batch: pa.Table) -> pa.Table:
-        grid = cms_block_counts(
-            batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed
-        )
-        return pa.table({"sketch": pa.array([grid.tobytes()], pa.large_binary())})
-
-    rows = bands.map_batches(sk, batch_format="pyarrow", batch_size=None).take_all()
-    if not rows:
-        return bands.add_column("band_key_salted", lambda b: b["band_key"])
-    merged = cms_merge(
-        [np.frombuffer(r["sketch"], dtype=np.uint32).reshape(D, W) for r in rows]
-    )
+    merged = _merged_cms_grid(bands, cfg)
+    if merged is None:
+        return bands
     ref = ray.put(merged)
 
     def salt(batch: pa.Table) -> pa.Table:

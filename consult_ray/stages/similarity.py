@@ -85,14 +85,29 @@ def add_hyperplane_buckets(
 
     Vectors whose signs agree on all n_planes hyperplanes share a bucket;
     search probes only the query's bucket (optionally multi-probe by
-    flipping low-margin bits). Seeded by cfg.seed — deterministic."""
+    flipping low-margin bits). Seeded by cfg.seed — deterministic.
+
+    The plane matrix is generated ONCE on the driver (dim sniffed from
+    one row when not given) and broadcast via ray.put — state setup
+    stays out of the per-batch function."""
+    if dim is None:
+        first = embeddings.limit(1).take_all()
+        if not first:
+            return embeddings.map_batches(
+                lambda b: b.append_column(
+                    "bucket", pa.array(np.empty(0, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        dim = len(first[0][vec_col])
+    rng = np.random.default_rng(cfg.seed + 77)
+    planes_ref = ray.put(rng.standard_normal((dim, n_planes)))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
         m = _embedding_matrix(batch, vec_col)
-        rng = np.random.default_rng(cfg.seed + 77)
-        planes = rng.standard_normal((m.shape[1], n_planes))
         signs = (m @ planes) >= 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
         bucket = (signs.astype(np.int64) * weights).sum(axis=1)
         return batch.append_column("bucket", pa.array(bucket))
 

@@ -36,45 +36,68 @@ _LANG_SAMPLES = {
 }
 
 
-def _trigram_profile(text: str, top: int = 200) -> dict[str, int]:
+def _trigram_profile(text: str, top: int = 200) -> dict[bytes, int]:
+    """rank (0 = most frequent) of the top UTF-8 byte trigrams."""
     from collections import Counter
 
-    t = f"  {text.lower()}  "
-    grams = Counter(t[i : i + 3] for i in range(len(t) - 2))
+    b = text.lower().encode()
+    grams = Counter(b[i : i + 3] for i in range(len(b) - 2))
     return {g: r for r, (g, _) in enumerate(grams.most_common(top))}
 
 
 class LangIdStage:
-    """n-gram heuristic language ID (out-of-place rank distance, the
-    classic Cavnar–Trenkle scheme). Actor-pool stage: profiles compiled
-    once per actor in __init__."""
+    """n-gram heuristic language ID (Cavnar–Trenkle-style trigram
+    profiles). Actor-pool stage: profiles compile once per actor in
+    __init__ into a sorted vocab-key array + a (vocab, lang) weight
+    matrix; __call__ classifies the whole batch with array ops — byte
+    trigrams from a zero-copy view of the column, searchsorted into the
+    vocab, one scatter-add into a (doc, lang) score matrix, argmax. No
+    per-row Python."""
 
     OUT_COL = "lang_pred"
+    HEAD_BYTES = 1000  # classify on the doc head, like the rank scheme did
 
     def __init__(self, text_col: str = "text", top: int = 200):
         self.text_col = text_col
         self.top = top
-        self.profiles = {lang: _trigram_profile(s, top) for lang, s in _LANG_SAMPLES.items()}
-
-    def _classify(self, text: str) -> str:
-        if not text:
-            return "und"
-        t = f"  {text.lower()[:1000]}  "
-        from collections import Counter
-
-        grams = Counter(t[i : i + 3] for i in range(len(t) - 2))
-        doc_ranked = {g: r for r, (g, _) in enumerate(grams.most_common(self.top))}
-        best, best_score = "und", None
-        for lang, prof in self.profiles.items():
-            score = 0
-            for g, r in doc_ranked.items():
-                score += abs(prof[g] - r) if g in prof else self.top
-            if best_score is None or score < best_score:
-                best, best_score = lang, score
-        return best
+        self.langs = sorted(_LANG_SAMPLES)
+        vocab: dict[int, np.ndarray] = {}
+        for li, lang in enumerate(self.langs):
+            for g, rank in _trigram_profile(_LANG_SAMPLES[lang], top).items():
+                key = (g[0] << 16) | (g[1] << 8) | g[2]
+                row = vocab.setdefault(key, np.zeros(len(self.langs), dtype=np.int64))
+                row[li] = top - rank  # weight: most-characteristic trigram = top
+        keys = np.fromiter(vocab.keys(), dtype=np.int64, count=len(vocab))
+        order = np.argsort(keys)
+        self.vocab_keys = keys[order]
+        self.weights = np.stack([vocab[int(k)] for k in self.vocab_keys])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._classify(t or "") for t in batch[self.text_col].to_pylist()]
+        from consult_ray.stages.fingerprint import _utf8_concat_and_offsets
+
+        text = batch[self.text_col].combine_chunks()
+        if text.null_count:
+            text = text.fill_null("")
+        head = pc.utf8_slice_codeunits(pc.utf8_lower(text), 0, self.HEAD_BYTES)
+        concat, offsets = _utf8_concat_and_offsets(head)
+        n_docs = batch.num_rows
+        scores = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        total = int(offsets[-1])
+        if total >= 3:
+            b = concat.astype(np.int64)
+            tri = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+            starts = np.arange(len(tri), dtype=np.int64)
+            doc_of = np.searchsorted(offsets, starts, side="right") - 1
+            valid = (starts + 3) <= offsets[doc_of + 1]
+            tri, doc_of = tri[valid], doc_of[valid]
+            pos = np.searchsorted(self.vocab_keys, tri)
+            pos_c = np.clip(pos, 0, len(self.vocab_keys) - 1)
+            hit = self.vocab_keys[pos_c] == tri
+            np.add.at(scores, doc_of[hit], self.weights[pos_c[hit]])
+        best = np.argmax(scores, axis=1)
+        known = scores[np.arange(n_docs), best] > 0
+        lang_arr = np.array(self.langs, dtype=object)
+        preds = np.where(known, lang_arr[best], "und")
         return batch.append_column(self.OUT_COL, pa.array(preds, pa.string()))
 
 
@@ -138,12 +161,18 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def doc_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit whole-document content fingerprint (rolling polynomial hash
-    of the raw text bytes) — the exact-dedup key. Returned as int64
-    `content_hash` for shuffle-friendliness."""
-    hashes = np.fromiter(
-        (hash_bytes_u64((t or "").encode()) for t in batch[text_col].to_pylist()),
-        dtype=np.uint64,
-        count=batch.num_rows,
-    )
+    """64-bit whole-document content fingerprint (polynomial hash of the
+    raw text bytes) — the exact-dedup key. Returned as int64
+    `content_hash` for shuffle-friendliness. Fully vectorized: zero-copy
+    view of the column bytes + one prefix-sum hash pass for the batch
+    (hash_bytes_batch_u64), bit-identical to the scalar hash_bytes_u64
+    per doc (nulls hash as empty strings)."""
+    from consult_ray.functions.hashing import hash_bytes_batch_u64
+    from consult_ray.stages.fingerprint import _utf8_concat_and_offsets
+
+    text = batch[text_col].combine_chunks()
+    if text.null_count:
+        text = text.fill_null("")
+    concat, offsets = _utf8_concat_and_offsets(text)
+    hashes = hash_bytes_batch_u64(concat, offsets)
     return batch.append_column("content_hash", pa.array(hashes.view(np.int64)))

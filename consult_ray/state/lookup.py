@@ -126,16 +126,16 @@ class BandLookupActor:
 
         n = batch.num_rows
         ids = fp[self.id_col].to_numpy(zero_copy_only=False)
-        id_to_row = {int(d): i for i, d in enumerate(ids)}
 
         pkeys = bands["band_key"].to_numpy(zero_copy_only=False)
         pdocs = bands["doc_id"].to_numpy(zero_copy_only=False)
         psims = bands["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        # band row -> query row index (vectorized dict-free: band rows are
-        # emitted doc-major per kind, but mixed kinds interleave, so map
-        # through the id order)
-        row_of = np.fromiter((id_to_row[int(d)] for d in pdocs), dtype=np.int64,
-                             count=len(pdocs))
+        # band row -> query row index: ids are unique within the batch,
+        # so one argsort + searchsorted maps every band row without any
+        # per-row Python (band rows interleave kinds, so order alone
+        # isn't enough)
+        id_order = np.argsort(ids, kind="stable")
+        row_of = id_order[np.searchsorted(ids[id_order], pdocs)]
 
         match_count = np.zeros(n, dtype=np.int64)
         match_doc = np.full(n, -1, dtype=np.int64)

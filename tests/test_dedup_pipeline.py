@@ -274,3 +274,21 @@ def test_collision_threshold_with_salted_hot_buckets(ray_session):
         "salted triangle duplicates must not inflate the distinct band "
         "collision count"
     )
+
+
+def test_cms_distributed_merge_matches_driver(ray_session, monkeypatch):
+    """The chunked groupby tree reduce (large-input path) must produce a
+    grid identical to the bounded driver merge."""
+    from consult_ray.pipelines import dedup as dmod
+    from consult_ray.pipelines.dedup import band_rows, fingerprints
+
+    c = make_pages_corpus(200, seed=3)
+    tbl = c.pages.append_column("doc_id", pa.array(np.arange(c.pages.num_rows)))
+    bands = band_rows(
+        fingerprints(rd.from_arrow(tbl).repartition(4), CFG), CFG
+    ).materialize()
+    g_driver = dmod._merged_cms_grid(bands, CFG)
+    monkeypatch.setattr(dmod, "_CMS_DRIVER_MERGE_MAX_ROWS", 0)
+    g_dist = dmod._merged_cms_grid(bands, CFG)
+    assert g_driver is not None and g_dist is not None
+    assert (g_driver == g_dist).all()

@@ -119,3 +119,23 @@ def test_splitmix64_bijective_property(vals):
     distinct outputs."""
     x = np.array(vals, dtype=np.uint64)
     assert len(np.unique(splitmix64(np.unique(x)))) == len(np.unique(x))
+
+
+def test_batch_doc_hash_matches_scalar():
+    """hash_bytes_batch_u64 (the vectorized exact-dedup content key) must
+    be bit-identical to hash_bytes_u64 per doc, across chunk boundaries,
+    empty and short docs."""
+    from consult_ray.functions.hashing import hash_bytes_batch_u64, hash_bytes_u64
+
+    rng = np.random.default_rng(3)
+    docs = [
+        b"", b"a", b"hello world",
+        bytes(rng.integers(0, 256, 65536, dtype=np.uint8)),   # exactly one chunk
+        bytes(rng.integers(0, 256, 65537, dtype=np.uint8)),   # crosses chunks
+        bytes(rng.integers(0, 256, 200_001, dtype=np.uint8)),
+        b"", b"tail",
+    ]
+    concat, offsets = _pack(docs)
+    got = hash_bytes_batch_u64(concat, offsets)
+    want = np.array([hash_bytes_u64(d) for d in docs], dtype=np.uint64)
+    assert (got == want).all()
