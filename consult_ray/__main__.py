@@ -2,14 +2,20 @@
 
     ray job submit -- python -m consult_ray \
         --input /data/pages_parquet --workdir /data/dedup_run1 \
+        [--mode dedup|build-library|search-library] \
         [--hot-policy cap|salt] [--resume]
 
-Reads the pages Parquet directory (or a documents.parquet with
-doc_id/text), runs the full checkpointed dedup pipeline
-(fingerprints → bands → edges → labels → clusters → substring →
-survivors), and prints a stage/lineage summary. Re-running with the
-same --workdir resumes: completed stages are skipped via their
-_SUCCESS markers (--resume is implied; pass --fresh to wipe first).
+Modes (the reference's two binaries plus the flagship pipeline):
+  * dedup (default): full checkpointed dedup pipeline (fingerprints →
+    bands → edges → labels → clusters → substring → survivors) with a
+    stage/lineage summary. Re-running with the same --workdir resumes:
+    completed stages are skipped via their _SUCCESS markers (--resume
+    is implied; pass --fresh to wipe first).
+  * build-library: main_map analog — build the partitioned band-table
+    library from --input and persist it at --library.
+  * search-library: main_search analog — classify --input query docs
+    against the --library, write matched/unclassified parquet under
+    --workdir (the ucseq_ anti-join split).
 
 Owns its Ray session only when none exists (the driver contract:
 library code never calls ray.init unconditionally).
@@ -30,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet file/dir with doc_id + text columns "
                          "(url-keyed pages tables work via --id-col url)")
     ap.add_argument("--workdir", required=True, help="checkpoint directory")
+    ap.add_argument("--mode", choices=["dedup", "build-library", "search-library"],
+                    default="dedup")
+    ap.add_argument("--library", default=None,
+                    help="band-table library dir (build-library output / "
+                         "search-library input)")
+    ap.add_argument("--library-partitions", type=int, default=16)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--hot-policy", choices=["cap", "salt"], default="cap")
@@ -69,6 +81,39 @@ def main(argv: list[str] | None = None) -> int:
         PipelineConfig(), hot_policy=args.hot_policy, census_mode=args.census_mode
     )
     docs = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+
+    if args.mode == "build-library":
+        from consult_ray.state.library import save_band_library
+
+        assert args.library, "--library required for build-library"
+        t0 = time.time()
+        manifest = save_band_library(
+            docs, cfg, args.library, num_partitions=args.library_partitions,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        rows = sum(p["rows"] for p in manifest["partitions"])
+        print(f"== built band library: {rows} rows in "
+              f"{len(manifest['partitions'])} partitions at {args.library} "
+              f"({time.time() - t0:.1f}s) ==")
+        return 0
+
+    if args.mode == "search-library":
+        from consult_ray.state.library import classify_queries_partitioned
+
+        assert args.library, "--library required for search-library"
+        t0 = time.time()
+        out = classify_queries_partitioned(
+            docs, args.library, cfg, text_col=args.text_col, id_col=args.id_col
+        ).materialize()
+        matched = out.filter(expr="matched == True")
+        unmatched = out.filter(expr="matched == False")
+        os.makedirs(args.workdir, exist_ok=True)
+        matched.write_parquet(os.path.join(args.workdir, "classified"))
+        unmatched.write_parquet(os.path.join(args.workdir, "unclassified"))
+        n_m, n_u = matched.count(), unmatched.count()
+        print(f"== searched library: {n_m} classified / {n_u} unclassified "
+              f"in {time.time() - t0:.1f}s; parquet under {args.workdir} ==")
+        return 0
 
     t0 = time.time()
     pipe = CheckpointedDedupPipeline(

@@ -342,6 +342,29 @@ def q_lookup_classify(sf_dir: str):
     return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])
 
 
+def q_lookup_classify_lib(sf_dir: str):
+    """Persistent-library variant of lookup_classify (S7/S8): the band
+    table is built ONCE from the corpus half, saved to disk partitioned
+    by band-key range, and the probe side loads only the partition that
+    owns each key range — no full-table broadcast. Must produce the
+    same classifications as `lookup_classify` (pytest-asserted)."""
+    import hashlib
+
+    from consult_ray.state.library import (
+        classify_queries_partitioned,
+        save_band_library,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    corpus = docs.filter(expr=f"doc_id < {n // 2}")
+    queries_ds = docs.filter(expr=f"doc_id >= {n // 2}")
+    lib = f"/tmp/consult_ray_lib/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    save_band_library(corpus, CFG, lib, num_partitions=8)
+    out = classify_queries_partitioned(queries_ds, lib, CFG)
+    return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: decode-stub actor pool over a deterministic
     synthetic media table (no media in the sf tables by design)."""
@@ -439,6 +462,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "lookup_classify": q_lookup_classify,
+    "lookup_classify_lib": q_lookup_classify_lib,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,

@@ -1,0 +1,319 @@
+"""Persistent, partitioned band-table library — the durable form of the
+lookup index (S7/S8).
+
+The reference's central artifact is a reusable on-disk library written
+once (/root/reference/main_map.cpp:859-1132: 5 array families x 24 chunk
+files + _meta) and parallel-loaded by a later process
+(/root/reference/main_search.cpp:156-658), with entries routed by a tag
+prefix of the signature (/root/reference/main_map.cpp:578-584). This
+module is its Ray recast:
+
+  * save_band_library: corpus -> band rows -> ONE groupby(part) shuffle
+    (part = top bits of the band_key, the tag analog — a key range) ->
+    per-partition cap + doc-major sort + parquet write from the workers,
+    plus a _meta.json pinning the signature config. Overwrite is
+    idempotent (tmp dir + rename), unlike the reference's mkdir refusal
+    (main_map.cpp:361-372).
+  * classify_queries_partitioned: query docs -> fingerprint -> band rows
+    -> the SAME part routing -> groupby(part).map_groups probe, where
+    each probe task loads ONLY its key-range partition of the library
+    (the parallel chunk load of main_search.cpp:523-658) through a
+    per-worker-process cache -> per-query-doc aggregate -> left join
+    back onto the queries. No task ever holds the full table, so the
+    library can exceed single-node RAM — the property the reference
+    needs 128 GB for (README.md:34).
+
+Per-row semantics are identical to state.lookup.BandLookupActor (the
+broadcast path): match_count counts band probes with >=1 hamming<=p
+neighbor (A4, main_search.cpp:766,868,996), match_doc is the min
+matching corpus doc, matched = match_count >= c. A pytest asserts
+bitwise-equal outputs of the two paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+from consult_ray.config import PipelineConfig
+from consult_ray.functions.hashing import popcount64
+from consult_ray.state.lookup import _capped_gather_idx, BandTableCSR
+from consult_ray.util import resolve_join_partitions
+
+LIBRARY_FORMAT_VERSION = 1
+_META = "_meta.json"
+_SUCCESS = "_SUCCESS"
+_NO_MATCH = np.int64(np.iinfo(np.int64).max)  # Min-aggregate identity
+
+
+def _cfg_signature(cfg: PipelineConfig, kinds: tuple[str, ...]) -> dict:
+    """The fields that determine band keys — a library built under one
+    signature must never serve queries fingerprinted under another (the
+    reproducibility contract map_fixed_pos exists for)."""
+    return {
+        "format_version": LIBRARY_FORMAT_VERSION,
+        "shingle_k": cfg.shingle_k,
+        "simhash_bands": cfg.simhash_bands,
+        "simhash_bits_per_band": cfg.simhash_bits_per_band,
+        "hamming_budget": cfg.hamming_budget,
+        "num_perm": cfg.num_perm,
+        "minhash_bands": cfg.minhash_bands,
+        "minhash_rows": cfg.minhash_rows,
+        "bucket_cap": cfg.bucket_cap,
+        "seed": cfg.seed,
+        "kinds": list(kinds),
+    }
+
+
+def partition_of(band_keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Key-range partition id: the top log2(P) bits of the band key
+    (uniform, since keys are splitmix64-mixed) — the tag-prefix routing
+    of main_map.cpp:578-584 generalized to P partitions."""
+    bits = int(num_partitions).bit_length() - 1
+    return (band_keys.view(np.uint64) >> np.uint64(64 - bits)).astype(np.int64)
+
+
+def _part_path(path: str, part: int) -> str:
+    return os.path.join(path, f"part-{part:05d}.parquet")
+
+
+def save_band_library(
+    corpus: Dataset,
+    cfg: PipelineConfig,
+    path: str,
+    num_partitions: int = 16,
+    kinds: tuple[str, ...] = ("simhash", "minhash"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Build the band table from a corpus and persist it partitioned by
+    band-key range. Returns the manifest (also written to _meta.json).
+
+    One all-to-all: groupby(part). Within each partition group the
+    bucket cap is applied globally per key (every key lives in exactly
+    one partition) and rows are written (band_key, doc_id)-sorted so the
+    loader builds its CSR with one pass, no re-sort."""
+    assert num_partitions & (num_partitions - 1) == 0, "num_partitions must be 2^k"
+    from consult_ray.pipelines.dedup import band_rows, fingerprints
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+
+    fp = fingerprints(corpus, cfg, text_col=text_col, id_col=id_col)
+    bands = band_rows(fp, cfg, kinds=kinds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(partition_of(keys, num_partitions))
+        )
+
+    def write_partition(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        keys = g["band_key"].to_numpy(zero_copy_only=False)
+        docs = g["doc_id"].to_numpy(zero_copy_only=False)
+        sims = g["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, keys))
+        keys, docs, sims = keys[order], docs[order], sims[order]
+        uniq, starts = np.unique(keys, return_index=True)
+        sizes = np.diff(np.append(starts, len(keys)))
+        idx, _keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
+        out = pa.table({
+            "band_key": pa.array(keys[idx]),
+            "doc_id": pa.array(docs[idx]),
+            "simhash": pa.array(sims[idx]),
+        })
+        pq.write_table(out, _part_path(tmp, part))
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "n_keys": pa.array([len(uniq)], pa.int64()),
+            "dropped": pa.array([int(len(keys) - out.num_rows)], pa.int64()),
+        })
+
+    manifest_rows = (
+        bands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(write_partition, batch_format="pyarrow")
+        .take_all()
+    )
+    manifest = {
+        "signature": _cfg_signature(cfg, kinds),
+        "num_partitions": num_partitions,
+        "partitions": sorted(manifest_rows, key=lambda r: r["part"]),
+    }
+    with open(os.path.join(tmp, _META), "w") as f:
+        json.dump(manifest, f)
+    with open(os.path.join(tmp, _SUCCESS), "w") as f:
+        f.write("")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return manifest
+
+
+def read_library_meta(path: str) -> dict:
+    assert os.path.exists(os.path.join(path, _SUCCESS)), (
+        f"band library at {path} is incomplete (no _SUCCESS)"
+    )
+    with open(os.path.join(path, _META)) as f:
+        return json.load(f)
+
+
+def check_signature(meta: dict, cfg: PipelineConfig, kinds: tuple[str, ...]) -> None:
+    want = _cfg_signature(cfg, kinds)
+    got = meta["signature"]
+    if got != want:
+        diff = {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
+        raise ValueError(f"band library signature mismatch: {diff}")
+
+
+def load_partition_csr(path: str, part: int) -> BandTableCSR:
+    """One key-range partition -> CSR arrays. Rows are stored sorted by
+    (band_key, doc_id), so this is a single pass, no sort."""
+    f = _part_path(path, part)
+    if not os.path.exists(f):  # no corpus keys in this range
+        e = np.empty(0, dtype=np.int64)
+        return BandTableCSR(e, np.zeros(1, dtype=np.int64), e, e.view(np.uint64))
+    t = pq.read_table(f)
+    keys = t["band_key"].to_numpy(zero_copy_only=False)
+    docs = t["doc_id"].to_numpy(zero_copy_only=False)
+    sims = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    uniq, starts = np.unique(keys, return_index=True)
+    offs = np.append(starts, len(keys)).astype(np.int64)
+    return BandTableCSR(uniq.astype(np.int64), offs, docs, sims)
+
+
+# per-worker-process partition cache: repeated probe tasks on the same
+# worker reuse the loaded CSR instead of re-reading parquet
+_PART_CACHE: dict[tuple[str, int], BandTableCSR] = {}
+_PART_CACHE_MAX = 8
+
+
+def _cached_partition(path: str, part: int) -> BandTableCSR:
+    key = (path, part)
+    hit = _PART_CACHE.get(key)
+    if hit is not None:
+        return hit
+    csr = load_partition_csr(path, part)
+    if len(_PART_CACHE) >= _PART_CACHE_MAX:
+        _PART_CACHE.pop(next(iter(_PART_CACHE)))
+    _PART_CACHE[key] = csr
+    return csr
+
+
+def _probe_partition(
+    g: pa.Table, library_path: str, cfg: PipelineConfig
+) -> pa.Table:
+    """Probe one partition's query band rows against that partition's
+    CSR (loaded here, in the task that owns the key range — never
+    broadcast). Emits one row per query band row: (doc_id, hit, mdoc)."""
+    part = int(g["part"][0].as_py())
+    t = _cached_partition(library_path, part)
+    pkeys = g["band_key"].to_numpy(zero_copy_only=False)
+    pdocs = g["doc_id"].to_numpy(zero_copy_only=False)
+    psims = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+
+    hit = np.zeros(len(pkeys), dtype=np.int64)
+    mdoc = np.full(len(pkeys), _NO_MATCH, dtype=np.int64)
+    if len(t.keys) and len(pkeys):
+        pos = np.searchsorted(t.keys, pkeys)
+        pos_c = np.clip(pos, 0, len(t.keys) - 1)
+        found = t.keys[pos_c] == pkeys
+        starts = t.offs[pos_c]
+        sizes = np.where(found, t.offs[pos_c + 1] - starts, 0)
+        cand_idx, keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
+        probe_of = np.repeat(np.arange(len(pkeys), dtype=np.int64), keep)
+        if len(cand_idx):
+            ham = popcount64(psims[probe_of] ^ t.sims[cand_idx])
+            ok = (ham <= cfg.hamming_budget) & (t.docs[cand_idx] != pdocs[probe_of])
+            if ok.any():
+                ok_probe = probe_of[ok]
+                ok_docs = t.docs[cand_idx][ok]
+                hit[np.unique(ok_probe)] = 1
+                np.minimum.at(mdoc, ok_probe, ok_docs)
+    return pa.table({
+        "doc_id": pa.array(pdocs),
+        "hit": pa.array(hit),
+        "mdoc": pa.array(mdoc),
+    })
+
+
+def classify_queries_partitioned(
+    queries: Dataset,
+    library_path: str,
+    cfg: PipelineConfig,
+    kinds: tuple[str, ...] = ("simhash", "minhash"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Stream query docs against a persisted band library with key-range
+    routing. Output schema == state.lookup.classify_queries (queries +
+    matched/match_count/match_doc)."""
+    from consult_ray.pipelines.dedup import band_rows, fingerprints
+
+    meta = read_library_meta(library_path)
+    check_signature(meta, cfg, kinds)
+    num_partitions = int(meta["num_partitions"])
+
+    fp = fingerprints(queries, cfg, text_col=text_col, id_col=id_col)
+    bands = band_rows(fp, cfg, kinds=kinds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(partition_of(keys, num_partitions))
+        )
+
+    probes = (
+        bands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _probe_partition(g, library_path, cfg),
+            batch_format="pyarrow",
+        )
+    )
+    agg = probes.groupby("doc_id").aggregate(
+        Sum("hit", alias_name="match_count"), Min("mdoc", alias_name="mdoc")
+    )
+
+    joined = queries.join(
+        agg,
+        "left_outer",
+        resolve_join_partitions(cfg),
+        on=(id_col,),
+        right_on=("doc_id",),
+        right_suffix="_r",
+    )
+
+    c = cfg.collision_threshold
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cnt = pc.fill_null(batch["match_count"], 0).combine_chunks().cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        md = pc.fill_null(batch["mdoc"], int(_NO_MATCH)).combine_chunks().cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        md = np.where(md == _NO_MATCH, np.int64(-1), md)
+        keep = [f for f in batch.column_names if f not in ("match_count", "mdoc")]
+        out = batch.select(keep)
+        return (
+            out.append_column("matched", pa.array(cnt >= c))
+            .append_column("match_count", pa.array(cnt))
+            .append_column("match_doc", pa.array(md))
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,94 @@
+"""Persistent partitioned band-table library (S7/S8): save once, reload
+from disk with key-range routing, and match the broadcast lookup path
+bit-for-bit."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from consult_ray.config import PipelineConfig
+from consult_ray.sources.synth import make_pages_corpus
+from consult_ray.state.library import (
+    classify_queries_partitioned,
+    load_partition_csr,
+    partition_of,
+    read_library_meta,
+    save_band_library,
+)
+from consult_ray.state.lookup import build_band_table, classify_queries
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus_and_queries(ray_session):
+    c = make_pages_corpus(300, seed=21)
+    tbl = c.pages.append_column("doc_id", pa.array(np.arange(c.pages.num_rows)))
+    tbl = tbl.select(["doc_id", "text"])
+    half = tbl.num_rows // 2
+    return tbl.slice(0, half), tbl.slice(half)
+
+
+def test_partitioned_matches_broadcast(corpus_and_queries, tmp_path_factory):
+    corpus_tbl, query_tbl = corpus_and_queries
+    lib = str(tmp_path_factory.mktemp("lib") / "band_tables")
+    manifest = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib,
+                                 num_partitions=8)
+    assert os.path.exists(os.path.join(lib, "_SUCCESS"))
+    assert 1 < len(manifest["partitions"]) <= 8, "routing must spread keys"
+
+    got = classify_queries_partitioned(
+        rd.from_arrow(query_tbl), lib, CFG
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    want = classify_queries(
+        rd.from_arrow(query_tbl), rd.from_arrow(corpus_tbl), CFG, concurrency=2
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    cols = ["doc_id", "matched", "match_count", "match_doc"]
+    assert got[cols].equals(want[cols])
+    # sanity: the corpus has dups of the query half's texts, so some match
+    assert got.matched.any() and (~got.matched).any()
+
+
+def test_partition_files_union_is_the_broadcast_table(corpus_and_queries,
+                                                      tmp_path_factory):
+    """The partition files, concatenated, must hold exactly the capped
+    CSR rows the broadcast build produces — same cap policy per key."""
+    corpus_tbl, _ = corpus_and_queries
+    lib = str(tmp_path_factory.mktemp("lib2") / "band_tables")
+    manifest = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib,
+                                 num_partitions=8)
+    t = build_band_table(rd.from_arrow(corpus_tbl), CFG)
+    want_rows = len(t.docs)
+    got_rows = sum(p["rows"] for p in manifest["partitions"])
+    assert got_rows == want_rows
+    # every key routed to the partition that owns its range, rows sorted
+    for p in manifest["partitions"]:
+        csr = load_partition_csr(lib, int(p["part"]))
+        assert (partition_of(csr.keys, manifest["num_partitions"])
+                == int(p["part"])).all()
+        assert (np.diff(csr.keys) > 0).all()
+
+
+def test_signature_mismatch_rejected(corpus_and_queries, tmp_path_factory):
+    corpus_tbl, query_tbl = corpus_and_queries
+    lib = str(tmp_path_factory.mktemp("lib3") / "band_tables")
+    save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
+    other = dataclasses.replace(CFG, seed=CFG.seed + 1)
+    with pytest.raises(ValueError, match="signature mismatch"):
+        classify_queries_partitioned(rd.from_arrow(query_tbl), lib, other)
+
+
+def test_overwrite_is_idempotent(corpus_and_queries, tmp_path_factory):
+    """Unlike the reference's refuse-to-overwrite mkdir guard
+    (main_map.cpp:361-372), re-saving replaces the library atomically."""
+    corpus_tbl, _ = corpus_and_queries
+    lib = str(tmp_path_factory.mktemp("lib4") / "band_tables")
+    m1 = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
+    m2 = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
+    assert m1["partitions"] == m2["partitions"]
+    assert read_library_meta(lib)["num_partitions"] == 4
