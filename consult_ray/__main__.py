@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--library-partitions", type=int, default=16)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--html-col", default=None,
+                    help="read this raw-html binary column and run the "
+                         "pinned extract_text stage first (pages-table "
+                         "input per BASELINE.json input_hint)")
     ap.add_argument("--hot-policy", choices=["cap", "salt"], default="cap")
     ap.add_argument("--census-mode", choices=["sketch", "exact"], default="sketch")
     ap.add_argument("--resume", action="store_true",
@@ -80,7 +84,24 @@ def main(argv: list[str] | None = None) -> int:
     cfg = dataclasses.replace(
         PipelineConfig(), hot_policy=args.hot_policy, census_mode=args.census_mode
     )
-    docs = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    content_col = args.html_col or args.text_col
+    docs = rd.read_parquet(args.input, columns=[args.id_col, content_col])
+
+    if args.mode != "dedup" and args.html_col:
+        # library modes run the pinned extraction inline (the dedup mode
+        # runs it as a checkpointed stage inside the pipeline)
+        import pyarrow as pa
+
+        from consult_ray.functions.textnorm import extract_text_column
+
+        idc, tc, hc = args.id_col, args.text_col, args.html_col
+
+        def _extract(b: "pa.Table") -> "pa.Table":
+            return pa.table(
+                {idc: b[idc], tc: extract_text_column(b[hc].combine_chunks())}
+            )
+
+        docs = docs.map_batches(_extract, batch_format="pyarrow")
 
     if args.mode == "build-library":
         from consult_ray.state.library import save_band_library
@@ -117,7 +138,8 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     pipe = CheckpointedDedupPipeline(
-        args.workdir, cfg, id_col=args.id_col, text_col=args.text_col
+        args.workdir, cfg, id_col=args.id_col, text_col=args.text_col,
+        html_col=args.html_col,
     )
     out = pipe.run(docs)
     n_docs = out["clusters"].count()

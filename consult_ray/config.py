@@ -65,6 +65,18 @@ class PipelineConfig:
     bucket_cap: int = 28             # SIGS_COLMN*partitions=28 (main_map.cpp:62)
     collision_threshold: int = 1     # c (main_search.cpp:110-116 default 1)
 
+    # --- M5 segmentation (the N-split tokenizer analog,
+    # /root/reference/main_search.cpp:770-777: split reads on ambiguous
+    # bases, shingle only tokens >= SL) ---
+    # When on, the RAW text splits on blank-line boundaries before
+    # canonicalization+shingling, segments shorter than
+    # segment_min_chars (default shingle_k) produce no shingles, and no
+    # shingle ever spans a segment boundary. Docs whose every segment
+    # drops fall back to one whole-doc shingle (so they still dedup).
+    # Off by default: the flagship pipeline shingles straight through.
+    segment_split: bool = False
+    segment_min_chars: int | None = None
+
     # --- determinism ---
     seed: int = 42
 
@@ -72,6 +84,14 @@ class PipelineConfig:
     batch_size: int = 4096
     join_partitions: int = 32
     cc_max_iters: int = 50
+    # O3 in-probe early exit (/root/reference/main_search.cpp:866-894):
+    # the lookup actor processes band probes in (kind, band) order and
+    # skips a query row's remaining probes once it has reached
+    # collision_threshold matches. `matched` is unchanged; match_count
+    # caps at c and match_doc reflects only the probes performed (the
+    # reference's exact stop-at-c semantics). Off by default so the
+    # actor and partitioned-library paths stay bit-identical.
+    probe_early_exit: bool = False
 
     # --- hot-key (heavy hitter) detection ---
     # "sketch": count-min sketch, two vectorized passes, no census shuffle

@@ -85,11 +85,19 @@ class CheckpointedDedupPipeline:
               "substring", "survivors")
 
     def __init__(self, workdir: str, cfg: PipelineConfig | None = None,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 html_col: str | None = None):
+        """html_col: when set, the input carries raw html bytes and the
+        pipeline's FIRST stage runs the pinned extract_text function
+        (north_rule's byte-identical-per-url invariant,
+        functions/textnorm.py) producing text_col, with its own
+        checkpoint + lineage row."""
         self.workdir = workdir
         self.cfg = cfg or PipelineConfig()
         self.id_col = id_col
         self.text_col = text_col
+        self.html_col = html_col
+        self.stages = (("extract",) if html_col else ()) + self.STAGES
         os.makedirs(workdir, exist_ok=True)
         os.makedirs(os.path.join(workdir, "lineage"), exist_ok=True)
 
@@ -158,6 +166,24 @@ class CheckpointedDedupPipeline:
 
     def run(self, docs: Dataset) -> dict[str, Dataset]:
         cfg = self.cfg
+        outputs: dict[str, Dataset] = {}
+
+        if self.html_col:
+            from consult_ray.functions.textnorm import extract_text_column
+
+            html_col, id_col, text_col = self.html_col, self.id_col, self.text_col
+
+            def extract(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    id_col: batch[id_col],
+                    text_col: extract_text_column(batch[html_col].combine_chunks()),
+                })
+
+            docs = self._run_stage(
+                "extract",
+                lambda: (docs.map_batches(extract, batch_format="pyarrow"), {}),
+            )
+            outputs["extract"] = docs
 
         fp = self._run_stage(
             "fingerprints",
@@ -233,7 +259,7 @@ class CheckpointedDedupPipeline:
 
         survivors = self._run_stage("survivors", build_survivors)
 
-        return {
+        outputs.update({
             "fingerprints": fp,
             "bands": bands,
             "edges": edges,
@@ -242,4 +268,5 @@ class CheckpointedDedupPipeline:
             "substring": substring,
             "survivors": survivors,
             "lineage": rd.from_arrow(self.lineage_table()),
-        }
+        })
+        return outputs

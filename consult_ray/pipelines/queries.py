@@ -342,6 +342,29 @@ def q_lookup_classify(sf_dir: str):
     return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])
 
 
+def q_band_occupancy_hist(sf_dir: str):
+    """Band-bucket occupancy histogram (A3,
+    /root/reference/main_map.cpp:1167-1197: 'fraction of rows with
+    occupancy s') — the skew-policy observability surface: how many band
+    keys have s members, for s = 1..cap+. No SQL oracle: band keys are
+    engine-internal hashes DuckDB cannot recompute; the brute-force
+    pytest oracle recomputes the histogram from band_rows directly
+    (tests/test_dedup_pipeline.py)."""
+    from consult_ray.pipelines.dedup import band_key_census, band_rows, fingerprints as fps
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    census = band_key_census(band_rows(fps(docs, CFG), CFG), CFG)
+    hist = ops.preagg_group_count(census, "cnt", "n_buckets")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "occupancy": batch["cnt"].cast(pa.int64()),
+            "n_buckets": batch["n_buckets"],
+        })
+
+    return hist.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_lookup_classify_lib(sf_dir: str):
     """Persistent-library variant of lookup_classify (S7/S8): the band
     table is built ONCE from the corpus half, saved to disk partitioned
@@ -463,6 +486,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "lookup_classify": q_lookup_classify,
     "lookup_classify_lib": q_lookup_classify_lib,
+    "band_occupancy_hist": q_band_occupancy_hist,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,

@@ -42,6 +42,41 @@ def _utf8_concat_and_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data[int(base) : int(offsets[-1])], (offsets - base).astype(np.int64)
 
 
+def _segment_column(
+    text: pa.Array, min_chars: int
+) -> tuple[pa.Array, np.ndarray]:
+    """M5 N-split analog (/root/reference/main_search.cpp:770-777): split
+    each RAW text on blank-line boundaries, keep segments >= min_chars
+    (the token >= SL rule); docs with no surviving segment fall back to
+    their whole text. Returns (segments, seg_doc: doc index per segment;
+    every doc owns >= 1 segment)."""
+    import pyarrow.compute as pc
+
+    n = len(text)
+    segs = pc.split_pattern_regex(text, pattern=r"\n[ \t\r]*\n")
+    flat = pc.list_flatten(segs)
+    n_per = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+    seg_doc = np.repeat(np.arange(n, dtype=np.int64), n_per)
+    keep = pc.greater_equal(
+        pc.utf8_length(flat), pa.scalar(min_chars)
+    ).to_numpy(zero_copy_only=False)
+    kept = flat.filter(pa.array(keep))
+    kept_doc = seg_doc[keep]
+    covered = np.bincount(kept_doc, minlength=n) > 0
+    if covered.all():
+        return kept, kept_doc
+    fb_idx = np.nonzero(~covered)[0]
+    fb = text.take(pa.array(fb_idx))
+    if isinstance(kept, pa.ChunkedArray):
+        kept = kept.combine_chunks()
+    if isinstance(fb, pa.ChunkedArray):
+        fb = fb.combine_chunks()
+    return (
+        pa.concat_arrays([kept, fb]),
+        np.concatenate([kept_doc, fb_idx]),
+    )
+
+
 def fingerprint_batch(
     batch: pa.Table,
     cfg: PipelineConfig,
@@ -54,14 +89,28 @@ def fingerprint_batch(
     Output schema: doc_id:int64, simhash:int64 (bit-pattern of the uint64),
     minhash:fixed_size_list<uint64, P>, n_shingles:int64.
     Nulls in text are treated as empty strings (they still fingerprint,
-    deterministically, and dedup together).
+    deterministically, and dedup together). With cfg.segment_split the
+    doc splits on blank lines first and shingles never span a segment
+    boundary (M5; see _segment_column).
     """
     n = batch.num_rows
-    text = canonicalize_column(batch[text_col].combine_chunks())
-    if text.null_count:
-        text = text.fill_null("")
-    concat, offsets = _utf8_concat_and_offsets(text)
-    hashes, doc_of = rolling_shingle_hashes(concat, offsets, cfg.shingle_k)
+    raw = batch[text_col].combine_chunks()
+    if raw.null_count:
+        raw = raw.fill_null("")
+    if cfg.segment_split:
+        seg_arr, seg_doc = _segment_column(
+            raw, cfg.segment_min_chars or cfg.shingle_k
+        )
+        seg_canon = canonicalize_column(seg_arr)
+        concat, offsets = _utf8_concat_and_offsets(seg_canon)
+        h, seg_of = rolling_shingle_hashes(concat, offsets, cfg.shingle_k)
+        doc_of = seg_doc[seg_of]
+        order = np.argsort(doc_of, kind="stable")
+        hashes, doc_of = h[order], doc_of[order]
+    else:
+        text = canonicalize_column(raw)
+        concat, offsets = _utf8_concat_and_offsets(text)
+        hashes, doc_of = rolling_shingle_hashes(concat, offsets, cfg.shingle_k)
     starts = segment_offsets(doc_of, n)
 
     mh = minhash_signatures(hashes, starts, cfg)

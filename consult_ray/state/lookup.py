@@ -138,40 +138,63 @@ class BandLookupActor:
         row_of = id_order[np.searchsorted(ids[id_order], pdocs)]
 
         match_count = np.zeros(n, dtype=np.int64)
-        match_doc = np.full(n, -1, dtype=np.int64)
+        match_doc = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
 
         if len(t.keys) and len(pkeys):
-            pos = np.searchsorted(t.keys, pkeys)
-            pos_c = np.clip(pos, 0, len(t.keys) - 1)
-            hit = t.keys[pos_c] == pkeys
-            starts = t.offs[pos_c]
-            sizes = np.where(hit, t.offs[pos_c + 1] - starts, 0)
-            # expand each probe's candidate range (bounded by bucket_cap)
-            cand_idx, keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
-            probe_of = np.repeat(np.arange(len(pkeys), dtype=np.int64), keep)
-            if len(cand_idx):
-                ham = popcount64(psims[probe_of] ^ t.sims[cand_idx])
-                ok = (ham <= cfg.hamming_budget) & (t.docs[cand_idx] != pdocs[probe_of])
-                if ok.any():
-                    ok_probe = probe_of[ok]
-                    ok_docs = t.docs[cand_idx][ok]
-                    # per-probe any-match -> per-query-row collision count
-                    # (the A4 counter counts BAND probes, not candidates)
-                    uniq_probe = np.unique(ok_probe)
-                    np.add.at(match_count, row_of[uniq_probe], 1)
-                    # min matching corpus doc per query row
-                    rows = row_of[ok_probe]
-                    order = np.lexsort((ok_docs, rows))
-                    r_sorted, d_sorted = rows[order], ok_docs[order]
-                    firsts = np.flatnonzero(np.r_[True, r_sorted[1:] != r_sorted[:-1]])
-                    match_doc[r_sorted[firsts]] = d_sorted[firsts]
+            if cfg.probe_early_exit:
+                # O3 (main_search.cpp:866-894): bands in deterministic
+                # (kind, band) order; a row's remaining probes are skipped
+                # once it has collision_threshold matches. One probe per
+                # row per band, so match_count caps at exactly c and
+                # `matched` is identical to the full scan.
+                bkind = bands["band_kind"].to_numpy(zero_copy_only=False).astype(np.int64)
+                bband = bands["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+                tags = bkind * 4096 + bband
+                for tag in np.unique(tags):
+                    sel = np.nonzero(
+                        (tags == tag)
+                        & (match_count[row_of] < cfg.collision_threshold)
+                    )[0]
+                    if len(sel):
+                        self._probe_into(pkeys[sel], pdocs[sel], psims[sel],
+                                         row_of[sel], match_count, match_doc)
+            else:
+                self._probe_into(pkeys, pdocs, psims, row_of,
+                                 match_count, match_doc)
 
+        match_doc[match_doc == np.iinfo(np.int64).max] = -1
         matched = match_count >= cfg.collision_threshold
         return (
             batch.append_column("matched", pa.array(matched))
             .append_column("match_count", pa.array(match_count))
             .append_column("match_doc", pa.array(match_doc))
         )
+
+    def _probe_into(self, pkeys, pdocs, psims, rows, match_count, match_doc):
+        """Vectorized bucket scan (T5) for one probe set, accumulating
+        into match_count / match_doc (match_doc uses int64-max as the
+        no-match sentinel so np.minimum.at composes across calls)."""
+        t, cfg = self.table, self.cfg
+        pos = np.searchsorted(t.keys, pkeys)
+        pos_c = np.clip(pos, 0, len(t.keys) - 1)
+        hit = t.keys[pos_c] == pkeys
+        starts = t.offs[pos_c]
+        sizes = np.where(hit, t.offs[pos_c + 1] - starts, 0)
+        # expand each probe's candidate range (bounded by bucket_cap)
+        cand_idx, keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
+        probe_of = np.repeat(np.arange(len(pkeys), dtype=np.int64), keep)
+        if not len(cand_idx):
+            return
+        ham = popcount64(psims[probe_of] ^ t.sims[cand_idx])
+        ok = (ham <= cfg.hamming_budget) & (t.docs[cand_idx] != pdocs[probe_of])
+        if not ok.any():
+            return
+        ok_probe = probe_of[ok]
+        ok_docs = t.docs[cand_idx][ok]
+        # per-probe any-match -> per-query-row collision count
+        # (the A4 counter counts BAND probes, not candidates)
+        np.add.at(match_count, rows[np.unique(ok_probe)], 1)
+        np.minimum.at(match_doc, rows[ok_probe], ok_docs)
 
 
 def classify_queries(

@@ -130,3 +130,31 @@ def test_survivor_when_cluster_label_is_substring(ray_session, tmp_path):
     got = dict(zip(surv.cluster_id, surv.doc_id))
     assert got[0] == 1, "superstring member must survive for cluster 0"
     assert got[2] == 2
+
+
+def test_html_input_runs_extraction_stage(ray_session, tmp_path):
+    """north_rule per-row invariant: given html-bearing pages input, the
+    pipeline's first stage is the pinned extract_text (checkpointed, with
+    lineage), the extracted text is byte-identical to the corpus's text
+    column, and clusters equal a run on pre-extracted text."""
+    c = make_pages_corpus(120, seed=11)
+    tbl = c.pages.append_column("doc_id", pa.array(np.arange(c.pages.num_rows)))
+
+    wd_html = str(tmp_path / "wd_html")
+    p = CheckpointedDedupPipeline(wd_html, CFG, html_col="html")
+    assert p.stages[0] == "extract"
+    out = p.run(rd.from_arrow(tbl.select(["doc_id", "html"])))
+
+    ext = out["extract"].to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(ext.text) == tbl["text"].to_pylist()  # byte-identical
+    assert os.path.exists(os.path.join(wd_html, "extract", "_SUCCESS"))
+    lin = p.lineage_table().to_pandas()
+    assert "extract" in set(lin.stage)
+
+    wd_text = str(tmp_path / "wd_text")
+    out_t = CheckpointedDedupPipeline(wd_text, CFG).run(
+        rd.from_arrow(tbl.select(["doc_id", "text"]))
+    )
+    a = out["clusters"].to_pandas().sort_values("doc_id", ignore_index=True)
+    b = out_t["clusters"].to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)

@@ -292,3 +292,27 @@ def test_cms_distributed_merge_matches_driver(ray_session, monkeypatch):
     g_dist = dmod._merged_cms_grid(bands, CFG)
     assert g_driver is not None and g_dist is not None
     assert (g_driver == g_dist).all()
+
+
+def test_band_occupancy_histogram_matches_bruteforce(corpus, ray_session):
+    """A3 occupancy histogram (main_map.cpp:1167-1197): the distributed
+    census->histogram must equal a numpy recount of the band rows."""
+    from consult_ray.pipelines.dedup import band_key_census, band_rows, fingerprints
+    from consult_ray.pipelines.operators import preagg_group_count
+
+    docs_tbl, _ = corpus
+    bands = band_rows(
+        fingerprints(rd.from_arrow(docs_tbl), CFG), CFG
+    ).materialize()
+    census = band_key_census(bands, CFG)
+    hist = preagg_group_count(census, "cnt", "n_buckets").to_pandas()
+    got = dict(zip(hist.cnt, hist.n_buckets))
+
+    keys = np.concatenate([
+        b["band_key"].to_numpy(zero_copy_only=False)
+        for b in bands.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ])
+    _, per_key = np.unique(keys, return_counts=True)
+    occ, n_buckets = np.unique(per_key, return_counts=True)
+    want = dict(zip(occ.tolist(), n_buckets.tolist()))
+    assert got == want and 1 in want

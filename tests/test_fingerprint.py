@@ -79,3 +79,69 @@ def test_band_positions_fixed_by_seed():
     # positions sorted descending per band, mirroring main_map.cpp:406
     for row in c1.band_positions:
         assert list(row) == sorted(row, reverse=True)
+
+
+def test_segment_split_shingles_never_span_boundaries():
+    """M5: with segment_split on, the shingle multiset of 'X\\n\\nY' equals
+    the union of the shingle sets of X and Y shingled separately — no
+    window crosses the blank-line boundary."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from consult_ray.functions.fingerprint import simhash_signatures
+    from consult_ray.functions.hashing import rolling_shingle_hashes
+    from consult_ray.functions.textnorm import canonicalize_column
+    from consult_ray.stages.fingerprint import (
+        _utf8_concat_and_offsets,
+        fingerprint_batch,
+    )
+
+    cfg = dataclasses.replace(CFG, segment_split=True)
+    x = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    y = "kilo lima mike november oscar papa quebec romeo sierra tango uniform"
+    batch = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([f"{x}\n\n{y}"])})
+    fp = fingerprint_batch(batch, cfg)
+
+    def hashes_of(t: str) -> np.ndarray:
+        col = canonicalize_column(pa.array([t]))
+        concat, offs = _utf8_concat_and_offsets(col)
+        h, _ = rolling_shingle_hashes(concat, offs, cfg.shingle_k)
+        return h
+
+    hx, hy = hashes_of(x), hashes_of(y)
+    assert fp["n_shingles"][0].as_py() == len(hx) + len(hy)
+    want_sim = simhash_signatures(
+        np.concatenate([hx, hy]), np.zeros(1, dtype=np.int64)
+    )[0]
+    assert np.uint64(fp["simhash"][0].as_py()) == want_sim
+
+    # unsegmented shingling of the same doc crosses the boundary
+    fp_plain = fingerprint_batch(batch, CFG)
+    assert fp_plain["n_shingles"][0].as_py() > len(hx) + len(hy)
+
+
+def test_segment_split_short_segments_drop_with_fallback():
+    import dataclasses
+
+    import pyarrow as pa
+
+    from consult_ray.stages.fingerprint import fingerprint_batch
+
+    cfg = dataclasses.replace(CFG, segment_split=True)
+    x = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    # short trailing segment contributes nothing
+    b1 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array([f"{x}\n\nab"])})
+    b2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array([x])})
+    f1, f2 = fingerprint_batch(b1, cfg), fingerprint_batch(b2, cfg)
+    assert f1["n_shingles"][0].as_py() == f2["n_shingles"][0].as_py()
+    assert f1["simhash"][0].as_py() == f2["simhash"][0].as_py()
+
+    # every segment short -> whole-doc fallback, still one fingerprint
+    b3 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["ab\n\ncd"])})
+    f3 = fingerprint_batch(b3, cfg)
+    assert f3["n_shingles"][0].as_py() == 1

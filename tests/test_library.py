@@ -92,3 +92,23 @@ def test_overwrite_is_idempotent(corpus_and_queries, tmp_path_factory):
     m2 = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
     assert m1["partitions"] == m2["partitions"]
     assert read_library_meta(lib)["num_partitions"] == 4
+
+
+def test_probe_early_exit_preserves_matched(corpus_and_queries):
+    """O3 early exit: `matched` is identical to the full scan,
+    match_count caps at collision_threshold, and match_doc is a real
+    matching doc wherever matched."""
+    corpus_tbl, query_tbl = corpus_and_queries
+    full = classify_queries(
+        rd.from_arrow(query_tbl), rd.from_arrow(corpus_tbl), CFG, concurrency=2
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    cfg_ee = dataclasses.replace(CFG, probe_early_exit=True)
+    fast = classify_queries(
+        rd.from_arrow(query_tbl), rd.from_arrow(corpus_tbl), cfg_ee, concurrency=2
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(full.matched) == list(fast.matched)
+    c = CFG.collision_threshold
+    assert (fast.match_count == np.minimum(full.match_count, c)).all()
+    m = fast.matched
+    assert (fast.match_doc[m] >= 0).all() and (fast.match_doc[~m] == -1).all()
+    assert full.matched.any()
