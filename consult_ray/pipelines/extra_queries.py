@@ -321,23 +321,61 @@ def q_ngram_jaccard_doc0(sf_dir: str):
     )
     id_np = ref_tbl["doc_id"].to_numpy(zero_copy_only=False)
     base_text = ref_tbl["text"].to_pylist()[int(np.nonzero(id_np == 0)[0][0])] or ""
-    g0 = frozenset(base_text[i: i + 3] for i in range(max(0, len(base_text) - 2)))
+
+    def _tri_keys(cp: np.ndarray) -> np.ndarray:
+        """distinct character trigrams as packed uint64 (3 x 21-bit code
+        points) — vectorized set representation."""
+        if len(cp) < 3:
+            return np.empty(0, dtype=np.uint64)
+        c = cp.astype(np.uint64)
+        return np.unique(
+            (c[:-2] << np.uint64(42)) | (c[1:-1] << np.uint64(21)) | c[2:]
+        )
+
+    g0 = _tri_keys(np.frombuffer(base_text.encode("utf-32-le"), dtype=np.uint32))
     import ray as _ray
 
     g0_ref = _ray.put(g0)
 
     def fn(batch: pa.Table) -> pa.Table:
+        # fully vectorized across the batch: one codepoint concat, packed
+        # trigram keys, per-(doc, key) dedup via one unique pass, and a
+        # sorted-array membership test against the broadcast doc-0 set
         ref = _ray.get(g0_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out = np.empty(batch.num_rows, dtype=np.int64)
-        for j, t in enumerate(batch["text"].to_pylist()):
-            t = t or ""
-            g = frozenset(t[i: i + 3] for i in range(max(0, len(t) - 2)))
-            u = len(g | ref)
-            jac = (len(g & ref) / u) if u else 1.0
-            # half-up to match duckdb round() (numpy/python round are half-even)
-            out[j] = np.int64(np.floor(jac * 10000.0 + 0.5))
-        return pa.table({"doc_id": pa.array(ids), "jaccard_e4": pa.array(out)})
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        n = len(texts)
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        c = cp.astype(np.uint64)
+        n_docs_grams = np.zeros(n, dtype=np.int64)
+        n_inter = np.zeros(n, dtype=np.int64)
+        if len(c) >= 3:
+            tri = (c[:-2] << np.uint64(42)) | (c[1:-1] << np.uint64(21)) | c[2:]
+            starts = np.arange(len(tri), dtype=np.int64)
+            doc_of = np.searchsorted(offs, starts, side="right") - 1
+            valid = (starts + 3) <= offs[doc_of + 1]
+            tri, doc_of = tri[valid], doc_of[valid]
+            # distinct (doc, trigram): sort by a fused key and drop runs.
+            # trigram keys use 63 bits, so fuse via lexsort instead of
+            # packing: order by (doc, tri), then first-of-run mask
+            order = np.lexsort((tri, doc_of))
+            d_s, t_s = doc_of[order], tri[order]
+            first = np.r_[True, (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])]
+            d_u, t_u = d_s[first], t_s[first]
+            n_docs_grams = np.bincount(d_u, minlength=n)
+            pos = np.searchsorted(ref, t_u)
+            pos_c = np.clip(pos, 0, max(len(ref) - 1, 0))
+            hit = len(ref) > 0 and ref[pos_c] == t_u
+            if np.any(hit):
+                n_inter = np.bincount(d_u[hit], minlength=n)
+        union = n_docs_grams + len(g0) - n_inter
+        jac = np.where(union > 0, n_inter / np.maximum(union, 1), 1.0)
+        # half-up to match duckdb round() (numpy round is half-even)
+        e4 = np.floor(jac * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "jaccard_e4": pa.array(e4)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -342,6 +342,18 @@ def q_lookup_classify(sf_dir: str):
     return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])
 
 
+def q_embedding_dup_pairs_lsh(sf_dir: str):
+    """Scale-path embedding near-dup pairs: banded hyperplane LSH
+    self-join + exact-cosine verify (no full-matrix broadcast — the
+    brute-force `embedding_dup_pairs` is the bounded oracle twin).
+    Rows-only driver check; pytest asserts recall >= 0.99 and exact
+    precision vs the brute-force pair set."""
+    from consult_ray.stages.similarity import embedding_dup_pairs_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs_lsh(ds, CFG, tau=0.35)
+
+
 def q_band_occupancy_hist(sf_dir: str):
     """Band-bucket occupancy histogram (A3,
     /root/reference/main_map.cpp:1167-1197: 'fraction of rows with
@@ -487,6 +499,7 @@ QUERIES = {
     "lookup_classify": q_lookup_classify,
     "lookup_classify_lib": q_lookup_classify_lib,
     "band_occupancy_hist": q_band_occupancy_hist,
+    "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,

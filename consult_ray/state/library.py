@@ -162,6 +162,85 @@ def save_band_library(
     return manifest
 
 
+def append_to_band_library(
+    new_docs: Dataset,
+    cfg: PipelineConfig,
+    path: str,
+    kinds: tuple[str, ...] = ("simhash", "minhash"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally insert new docs into an existing library (the
+    growing-corpus workload the reference cannot express — its library
+    is write-once). Each touched partition merges old + new rows,
+    re-sorts, drops exact duplicate (band_key, doc_id) rows (so a
+    re-append of the same docs is a no-op) and re-applies the per-key
+    min-doc_id cap — which makes append ORDER-FREE: appending B to a
+    library built from A yields byte-identical partitions to building
+    from A ∪ B (pytest-asserted). Per-partition writes are atomic
+    (tmp + rename); _meta is rewritten last."""
+    meta = read_library_meta(path)
+    check_signature(meta, cfg, kinds)
+    num_partitions = int(meta["num_partitions"])
+    from consult_ray.pipelines.dedup import band_rows, fingerprints
+
+    fp = fingerprints(new_docs, cfg, text_col=text_col, id_col=id_col)
+    bands = band_rows(fp, cfg, kinds=kinds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch["band_key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(partition_of(keys, num_partitions))
+        )
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        keys = g["band_key"].to_numpy(zero_copy_only=False)
+        docs = g["doc_id"].to_numpy(zero_copy_only=False)
+        sims = g["simhash"].to_numpy(zero_copy_only=False)
+        f = _part_path(path, part)
+        if os.path.exists(f):
+            old = pq.read_table(f)
+            keys = np.concatenate([old["band_key"].to_numpy(zero_copy_only=False), keys])
+            docs = np.concatenate([old["doc_id"].to_numpy(zero_copy_only=False), docs])
+            sims = np.concatenate([old["simhash"].to_numpy(zero_copy_only=False), sims])
+        order = np.lexsort((docs, keys))
+        keys, docs, sims = keys[order], docs[order], sims[order]
+        fresh = np.r_[True, (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])]
+        keys, docs, sims = keys[fresh], docs[fresh], sims[fresh]
+        uniq, starts = np.unique(keys, return_index=True)
+        sizes = np.diff(np.append(starts, len(keys)))
+        idx, _keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
+        out = pa.table({
+            "band_key": pa.array(keys[idx]),
+            "doc_id": pa.array(docs[idx]),
+            "simhash": pa.array(sims[idx]),
+        })
+        tmp = f"{f}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, f)
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "n_keys": pa.array([len(uniq)], pa.int64()),
+            "dropped": pa.array([int(len(keys) - out.num_rows)], pa.int64()),
+        })
+
+    touched = (
+        bands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pyarrow")
+        .take_all()
+    )
+    by_part = {int(p["part"]): p for p in meta["partitions"]}
+    for p in touched:
+        by_part[int(p["part"])] = p
+    meta["partitions"] = [by_part[k] for k in sorted(by_part)]
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
 def read_library_meta(path: str) -> dict:
     assert os.path.exists(os.path.join(path, _SUCCESS)), (
         f"band library at {path} is incomplete (no _SUCCESS)"

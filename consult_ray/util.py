@@ -29,5 +29,14 @@ def resolve_join_partitions(cfg: PipelineConfig) -> int:
     4-CPU cluster never schedules). Cap the configured value at the
     cluster CPU count — on a 256-node cluster the cap is the configured
     value, on a laptop it is the laptop.
-    """
+
+    GRAFT_JOIN_PARTITIONS overrides (bench.py sets it to the MEASURED
+    delivered parallelism: hosts that advertise more vCPUs than they
+    deliver invert scaling when the shuffle is sized to the advertised
+    count)."""
+    import os
+
+    env = os.environ.get("GRAFT_JOIN_PARTITIONS")
+    if env:
+        return max(2, int(env))
     return max(2, min(cfg.join_partitions, cluster_cpus()))

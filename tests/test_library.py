@@ -112,3 +112,35 @@ def test_probe_early_exit_preserves_matched(corpus_and_queries):
     m = fast.matched
     assert (fast.match_doc[m] >= 0).all() and (fast.match_doc[~m] == -1).all()
     assert full.matched.any()
+
+
+def test_append_equals_rebuild(corpus_and_queries, tmp_path_factory):
+    """Appending docs B to a library built from A must yield partitions
+    byte-identical to building from A ∪ B (min-doc_id cap is order-free),
+    and re-appending B again must be a no-op."""
+    import pyarrow.parquet as pq
+
+    from consult_ray.state.library import append_to_band_library
+
+    corpus_tbl, query_tbl = corpus_and_queries  # use both halves as A, B
+    a_tbl, b_tbl = corpus_tbl, query_tbl
+    both = pa.concat_tables([a_tbl, b_tbl])
+
+    lib_inc = str(tmp_path_factory.mktemp("inc") / "band_tables")
+    save_band_library(rd.from_arrow(a_tbl), CFG, lib_inc, num_partitions=8)
+    m_inc = append_to_band_library(rd.from_arrow(b_tbl), CFG, lib_inc)
+
+    lib_full = str(tmp_path_factory.mktemp("full") / "band_tables")
+    m_full = save_band_library(rd.from_arrow(both), CFG, lib_full,
+                               num_partitions=8)
+
+    assert m_inc["partitions"] == m_full["partitions"]
+    for p in m_full["partitions"]:
+        part = int(p["part"])
+        ta = pq.read_table(f"{lib_inc}/part-{part:05d}.parquet")
+        tb = pq.read_table(f"{lib_full}/part-{part:05d}.parquet")
+        assert ta.equals(tb), part
+
+    # idempotent re-append
+    m_again = append_to_band_library(rd.from_arrow(b_tbl), CFG, lib_inc)
+    assert m_again["partitions"] == m_full["partitions"]

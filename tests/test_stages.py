@@ -232,3 +232,35 @@ def test_ivf_full_probe_is_exact(ray_session):
     approx = ivf_topk(bucketed, cent, q, k=5, nprobe=2, exclude_ids=frozenset({qid}))
     assert len(approx) == 5
     assert approx["vec_id"][0].as_py() in set(exact["vec_id"].to_pylist())
+
+
+def test_embedding_lsh_pairs_recall_vs_bruteforce(ray_session):
+    """Banded hyperplane LSH pair generation: exact precision (verify is
+    true cosine) and recall >= 0.99 vs the brute-force all-pairs set."""
+    import ray.data as rd
+
+    from consult_ray.stages.similarity import embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(17)
+    n, d, tau = 400, 32, 0.35
+    # clustered vectors so plenty of pairs clear tau
+    centers = rng.standard_normal((20, d))
+    m = centers[rng.integers(0, 20, n)] + 0.55 * rng.standard_normal((n, d))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ai, bj = np.nonzero(np.triu(sims >= tau, k=1))
+    brute = set(zip(ai.tolist(), bj.tolist()))
+    assert len(brute) > 50
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32) for row in m],
+                              pa.list_(pa.float32())),
+    })
+    got_df = embedding_dup_pairs_lsh(
+        rd.from_arrow(tbl), PipelineConfig(), tau=tau
+    ).to_pandas()
+    got = set(zip(got_df.a, got_df.b))
+    assert got <= brute, "precision must be exact (cosine-verified)"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.99, f"recall {recall:.4f}"
