@@ -417,6 +417,22 @@ def q_embedding_dup_pairs(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Connected components over the exact embedding-cosine pair graph
+    (cos >= 0.35): cluster label = min vec_id in the component,
+    singletons label themselves. This gives the CC operator itself a
+    SQL oracle — a recursive transitive-closure CTE over the same
+    cosine predicate (dedup_clusters stays rows-only because text band
+    keys are engine-internal hashes; the cosine graph is
+    SQL-computable)."""
+    from consult_ray.pipelines.cluster import assign_clusters, connected_components
+
+    edges = q_embedding_dup_pairs(sf_dir)  # exact pair gen (SQL-green itself)
+    labels = connected_components(edges, CFG)
+    vecs = _read(sf_dir, "embeddings", ["vec_id"])
+    return assign_clusters(vecs, labels, CFG, id_col="vec_id")
+
+
 EXTRA_QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "orders_by_month": q_orders_by_month,
@@ -431,6 +447,7 @@ EXTRA_QUERIES = {
     "events_sliding_3h": q_events_sliding_3h,
     "ngram_jaccard_doc0": q_ngram_jaccard_doc0,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_clusters": q_embedding_clusters,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -499,6 +516,25 @@ EXTRA_ORACLE_SQL = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.35"
+    ),
+    "embedding_clusters": (
+        # transitive closure by recursive CTE: reach(id, anc) enumerates
+        # every node reachable from id through the cosine>=0.35 graph;
+        # the component label is the min reachable id (incl. itself)
+        "WITH RECURSIVE pairs AS ("
+        "  SELECT a.vec_id AS a, b.vec_id AS b"
+        "  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+        "  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.35"
+        "), edges AS ("
+        "  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs"
+        "), reach(id, anc) AS ("
+        "  SELECT vec_id, vec_id FROM embeddings"
+        "  UNION"
+        "  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.anc"
+        ") "
+        "SELECT id AS vec_id, CAST(min(anc) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY id"
     ),
     "nation_order_value": (
         "SELECT n.n_name, "
