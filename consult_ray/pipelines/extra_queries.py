@@ -417,6 +417,49 @@ def q_embedding_dup_pairs(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def q_token_stats_bpe(sf_dir: str):
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (letters / digits / punctuation runs with optional leading space)
+    counted per doc. Both sides run RE2 — pyarrow count_substring_regex
+    here, duckdb regexp_extract_all in the oracle — so counts are
+    bit-identical."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], _BPE_PAT), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_top_words(sf_dir: str):
+    """Corpus-wide vocabulary census: top-50 space-separated words by
+    frequency (word tiebreak). The token explosion never leaves the
+    batch: per-batch value_counts pre-aggregates to one (word, n) row
+    per distinct word per block, so the shuffle moves vocabulary-sized
+    partials, not one row per token — the plan shape a 100 TB word
+    census needs."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        counts = pc.value_counts(words)
+        return pa.table({
+            "word": counts.field("values"),
+            "n": counts.field("counts").cast(pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "word"], descending=[True, False]).limit(50)
+
+
 def q_embedding_clusters(sf_dir: str):
     """Connected components over the exact embedding-cosine pair graph
     (cos >= 0.35): cluster label = min vec_id in the component,
@@ -448,6 +491,8 @@ EXTRA_QUERIES = {
     "ngram_jaccard_doc0": q_ngram_jaccard_doc0,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_clusters": q_embedding_clusters,
+    "token_stats_bpe": q_token_stats_bpe,
+    "top_words": q_top_words,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -516,6 +561,16 @@ EXTRA_ORACLE_SQL = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.35"
+    ),
+    "token_stats_bpe": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents"
+    ),
+    "top_words": (
+        "SELECT w AS word, count(*) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+        ") GROUP BY w ORDER BY n DESC, w LIMIT 50"
     ),
     "embedding_clusters": (
         # transitive closure by recursive CTE: reach(id, anc) enumerates
