@@ -103,7 +103,10 @@ def simhash_signatures(hashes: np.ndarray, starts: np.ndarray) -> np.ndarray:
     bit), CACHE-BLOCKED: the shingle array is processed in L2-sized
     chunks so the 64 bit passes re-read cache, not RAM (the unblocked
     form moves 64 x the array through memory and starves parallel
-    workers of bandwidth). Per-doc counts accumulate across chunks."""
+    workers of bandwidth). Per-doc counts accumulate across chunks.
+    (Measured alternatives — byte-LUT gather or np.unpackbits into an
+    (m, 64) bit matrix + one axis-0 reduceat / cumsum — are 2.5-20x
+    SLOWER than these contiguous 1-D passes; keep this form.)"""
     n_docs = len(starts)
     if n_docs == 0 or len(hashes) == 0:
         return np.zeros(n_docs, dtype=np.uint64)

@@ -46,7 +46,7 @@ def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
         h = U64(seed) + U64(len(data))
         for chunk_start in range(0, len(a), 65536):
             chunk = a[chunk_start : chunk_start + 65536]
-            powers = _powers(base, len(chunk))[::-1].copy()
+            powers = _powers_cached(base, len(chunk))[::-1]
             h = h * _pow_mod64(base, len(chunk)) + U64(
                 np.sum(chunk * powers, dtype=np.uint64)
             )
@@ -71,12 +71,11 @@ def hash_bytes_batch_u64(
     lens = np.diff(offsets).astype(np.int64)
     total = int(offsets[-1])
     with np.errstate(over="ignore"):
-        data = concat[:total].astype(np.uint64)
-        inv_pows = _powers(ROLL_BASE_INV, total)
+        inv_pows = _powers_cached(ROLL_BASE_INV, total)
         S = np.empty(total + 1, dtype=np.uint64)
         S[0] = U64(0)
-        np.cumsum(data * inv_pows, out=S[1:])
-        pows = _powers(ROLL_BASE, total + 1)
+        np.cumsum(concat[:total].astype(np.uint64) * inv_pows, out=S[1:])
+        pows = _powers_cached(ROLL_BASE, total + 1)
         lo = offsets[:-1].astype(np.int64)
         hi = offsets[1:].astype(np.int64)
         # sum_j data[j] * BASE^{len-1-(j-lo)} = BASE^{hi-1} * (S[hi]-S[lo])
@@ -101,6 +100,23 @@ def _powers(base: np.uint64, n: int) -> np.ndarray:
         # accumulate of [b, b, ...] gives [b, b^2, ...]
         np.multiply.accumulate(np.full(n - 1, base, dtype=np.uint64), out=out[1:])
     return out
+
+
+# Per-process cache of power tables for the two fixed bases: the
+# sequential multiply.accumulate is the single most expensive part of a
+# batch hash pass (measured ~45% of rolling_shingle_hashes), and the
+# bases never change — compute once per worker, slice forever.
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers_cached(base: np.uint64, n: int) -> np.ndarray:
+    arr = _POW_CACHE.get(int(base))
+    if arr is None or len(arr) < n:
+        size = max(n, 1 << 21, 0 if arr is None else 2 * len(arr))
+        with np.errstate(over="ignore"):
+            _POW_CACHE[int(base)] = _powers(base, size)
+        arr = _POW_CACHE[int(base)]
+    return arr[:n]
 
 
 def rolling_shingle_hashes(
@@ -135,27 +151,37 @@ def rolling_shingle_hashes(
 
     long_mask = lens >= k
     if total >= k and long_mask.any():
-        data = concat.astype(np.uint64)
-        # S[i] = sum_{j<i} data[j] * BASE^{-j}  (mod 2^64)
-        inv_pows = _powers(ROLL_BASE_INV, total)
-        weighted = data * inv_pows
-        S = np.empty(total + 1, dtype=np.uint64)
-        S[0] = U64(0)
-        np.cumsum(weighted, out=S[1:])
+        with np.errstate(over="ignore"):
+            # S[i] = sum_{j<i} data[j] * BASE^{-j}  (mod 2^64)
+            inv_pows = _powers_cached(ROLL_BASE_INV, total)
+            # explicit cast first: numpy's mixed uint8 x uint64 loop is
+            # ~40x slower than astype + same-dtype SIMD multiply
+            weighted = concat[:total].astype(np.uint64) * inv_pows
+            S = np.empty(total + 1, dtype=np.uint64)
+            S[0] = U64(0)
+            np.cumsum(weighted, out=S[1:])
 
-        n_windows = total - k + 1
-        starts = np.arange(n_windows, dtype=np.int64)
-        # doc index owning each start position
-        doc_of = np.searchsorted(offsets, starts, side="right") - 1
-        valid = (starts + k) <= offsets[doc_of + 1]
-        starts = starts[valid]
-        doc_of = doc_of[valid]
+            n_windows = total - k + 1
+            # doc index of every byte position, built contiguously
+            # (np.repeat over per-doc lengths; empty docs contribute no
+            # positions, matching the searchsorted-right semantics)
+            n_docs_l = len(offsets) - 1
+            doc_of_all = np.repeat(
+                np.arange(n_docs_l, dtype=np.int64), lens
+            )[:n_windows]
+            pos_in_doc = (
+                np.arange(n_windows, dtype=np.int64)
+                - np.repeat(offsets[:-1].astype(np.int64), lens)[:n_windows]
+            )
+            valid = (pos_in_doc + k) <= lens[doc_of_all]
 
-        # h = BASE^{p+k-1} * (S[p+k] - S[p])
-        pows = _powers(ROLL_BASE, total + k)
-        h = pows[starts + k - 1] * (S[starts + k] - S[starts])
-        out_hashes.append(splitmix64(h))
-        out_docs.append(doc_of)
+            # h = BASE^{p+k-1} * (S[p+k] - S[p]) — contiguous slices over
+            # ALL window positions then one boolean compress (gathers over
+            # strided index arrays measured ~2x slower)
+            pows = _powers_cached(ROLL_BASE, total + k)
+            h_all = pows[k - 1: k - 1 + n_windows] * (S[k: k + n_windows] - S[:n_windows])
+            out_hashes.append(splitmix64(h_all[valid]))
+            out_docs.append(doc_of_all[valid])
 
     short_idx = np.nonzero(~long_mask)[0]
     if len(short_idx):
