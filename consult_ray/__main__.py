@@ -5,7 +5,7 @@
         [--mode dedup|build-library|search-library] \
         [--hot-policy cap|salt] [--resume]
 
-Modes (the reference's two binaries plus the flagship pipeline):
+Modes (one per reference binary, plus the flagship pipeline):
   * dedup (default): full checkpointed dedup pipeline (fingerprints →
     bands → edges → labels → clusters → substring → survivors) with a
     stage/lineage summary. Re-running with the same --workdir resumes:
@@ -16,6 +16,8 @@ Modes (the reference's two binaries plus the flagship pipeline):
   * search-library: main_search analog — classify --input query docs
     against the --library, write matched/unclassified parquet under
     --workdir (the ucseq_ anti-join split).
+  * minimize: main_minimization analog — per-doc lexicographically
+    smallest k-window (k=16), written as parquet under --workdir.
 
 Owns its Ray session only when none exists (the driver contract:
 library code never calls ray.init unconditionally).
@@ -36,7 +38,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet file/dir with doc_id + text columns "
                          "(url-keyed pages tables work via --id-col url)")
     ap.add_argument("--workdir", required=True, help="checkpoint directory")
-    ap.add_argument("--mode", choices=["dedup", "build-library", "search-library"],
+    ap.add_argument("--mode",
+                    choices=["dedup", "build-library", "search-library",
+                             "minimize"],
                     default="dedup")
     ap.add_argument("--library", default=None,
                     help="band-table library dir (build-library output / "
@@ -102,6 +106,27 @@ def main(argv: list[str] | None = None) -> int:
             )
 
         docs = docs.map_batches(_extract, batch_format="pyarrow")
+
+    if args.mode == "minimize":
+        import tempfile
+
+        from consult_ray.pipelines.extra_queries import q_minimizers
+
+        t0 = time.time()
+        with tempfile.TemporaryDirectory() as td:
+            # q_minimizers reads <dir>/documents.parquet; point it at the
+            # input by symlinking when the input is a file
+            src = args.input
+            if os.path.isfile(src):
+                os.symlink(os.path.abspath(src), os.path.join(td, "documents.parquet"))
+                src = td
+            out = q_minimizers(src).materialize()
+            os.makedirs(args.workdir, exist_ok=True)
+            out.write_parquet(os.path.join(args.workdir, "minimizers"))
+            n = out.count()
+        print(f"== minimized {n} docs in {time.time() - t0:.1f}s; "
+              f"parquet under {args.workdir}/minimizers ==")
+        return 0
 
     if args.mode == "build-library":
         from consult_ray.state.library import save_band_library

@@ -213,18 +213,13 @@ class CheckpointedDedupPipeline:
         )
 
         def build_substring():
-            from consult_ray.stages.substring import substring_dedup_in_clusters
-            from consult_ray.util import resolve_join_partitions
+            # broadcast-label routing: the text-bearing doc table never
+            # joins; singleton docs bypass the text shuffle entirely
+            # (stages/substring.py::substring_stage)
+            from consult_ray.stages.substring import substring_stage
 
-            joined = docs.select_columns([self.id_col, self.text_col]).join(
-                clusters, "inner", resolve_join_partitions(cfg),
-                on=(self.id_col,), right_on=(self.id_col,),
-            )
-            out = substring_dedup_in_clusters(
-                joined, cfg, text_col=self.text_col, id_col=self.id_col
-            )
-            return out.select_columns(
-                [self.id_col, "cluster_id", "substring_dropped"]
+            return substring_stage(
+                docs, labels, cfg, text_col=self.text_col, id_col=self.id_col
             ), {}
 
         substring = self._run_stage("substring", build_substring)

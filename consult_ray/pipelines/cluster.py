@@ -185,11 +185,60 @@ def connected_components(
     return connected_components_distributed(edges, cfg)
 
 
+# Labels are 16 B/row; 5M rows = 80 MB broadcast once via ray.put — far
+# cheaper than hash-shuffling the full doc id table. Non-singleton nodes
+# are a small fraction of docs at web scale, so broadcast is the common
+# case; above the limit the shuffle join is the scale path.
+BROADCAST_LABEL_LIMIT = 5_000_000
+
+
 def assign_clusters(
-    docs: Dataset, labels: Dataset, cfg: PipelineConfig, id_col: str = "doc_id"
+    docs: Dataset, labels: Dataset, cfg: PipelineConfig, id_col: str = "doc_id",
+    mode: str = "auto",
 ) -> Dataset:
     """(doc_id, cluster_id): component label where present, own id for
-    singletons. Left-outer hash join + vectorized coalesce."""
+    singletons.
+
+    mode "broadcast": labels ship once via ray.put as sorted arrays and
+    every task resolves ids with a searchsorted — NO shuffle of the doc
+    table (the flagship pipeline's only remaining doc-proportional
+    all-to-all outside the band join). mode "join": left-outer hash join
+    + coalesce. "auto" picks broadcast below BROADCAST_LABEL_LIMIT."""
+    if mode == "auto":
+        labels = labels.materialize()
+        mode = "broadcast" if labels.count() <= BROADCAST_LABEL_LIMIT else "join"
+
+    if mode == "broadcast":
+        import ray
+
+        parts = list(labels.select_columns(["node", "label"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ))
+        if parts:
+            tbl = pa.concat_tables(parts)
+            nodes = tbl["node"].to_numpy(zero_copy_only=False)
+            labs = tbl["label"].to_numpy(zero_copy_only=False)
+            order = np.argsort(nodes)
+            nodes, labs = nodes[order], labs[order]
+        else:
+            nodes = np.empty(0, dtype=np.int64)
+            labs = np.empty(0, dtype=np.int64)
+        ref = ray.put((nodes, labs))
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            ns, ls = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ns):
+                pos = np.searchsorted(ns, ids)
+                pos_c = np.clip(pos, 0, len(ns) - 1)
+                hit = ns[pos_c] == ids
+                lab = np.where(hit, ls[pos_c], ids)
+            else:
+                lab = ids
+            return pa.table({id_col: batch[id_col], "cluster_id": pa.array(lab)})
+
+        return docs.select_columns([id_col]).map_batches(lookup, batch_format="pyarrow")
+
     ids = docs.select_columns([id_col])
     joined = ids.join(
         labels, "left_outer", resolve_join_partitions(cfg), on=(id_col,), right_on=("node",)

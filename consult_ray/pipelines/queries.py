@@ -25,7 +25,7 @@ from consult_ray.pipelines import operators as ops
 from consult_ray.pipelines.cluster import assign_clusters, connected_components
 from consult_ray.pipelines.dedup import dup_edges, fingerprints
 from consult_ray.stages.similarity import add_hyperplane_buckets, brute_force_topk, lsh_topk
-from consult_ray.stages.substring import substring_dedup_in_clusters, substring_pairs_table
+from consult_ray.stages.substring import substring_pairs_table
 from consult_ray.stages.text import (
     LangIdStage,
     quality_score_batch,
@@ -277,23 +277,12 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_substring_dedup(sf_dir: str):
+    from consult_ray.stages.substring import substring_stage
+
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     edges, _ = dup_edges(docs, CFG)
-    labels = connected_components(edges, CFG)
-    clustered = assign_clusters(docs, labels, CFG)
-    # attach cluster_id then run the per-cluster suffix-array stage
-    from consult_ray.util import resolve_join_partitions
-
-    joined = docs.join(
-        clustered,
-        "inner",
-        resolve_join_partitions(CFG),
-        on=("doc_id",),
-        right_on=("doc_id",),
-        right_suffix="_r",
-    )
-    out = substring_dedup_in_clusters(joined, CFG)
-    return out.select_columns(["doc_id", "cluster_id", "substring_dropped"])
+    labels = connected_components(edges, CFG).materialize()
+    return substring_stage(docs, labels, CFG)
 
 
 def q_knn_lsh(sf_dir: str):

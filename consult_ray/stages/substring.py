@@ -86,6 +86,83 @@ def substring_dedup_in_clusters(
     )
 
 
+def substring_stage(
+    docs: Dataset,
+    labels: Dataset,
+    cfg: PipelineConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """docs + CC labels -> (id, cluster_id, substring_dropped) WITHOUT
+    joining the text table: cluster ids resolve via a broadcast label
+    lookup (labels cover only nodes that appear in a dup edge), and
+    singleton docs — which cannot be substring-contained within their
+    one-member cluster — bypass the text shuffle entirely. Only
+    dup-cluster members enter the groupby(cluster_id) suffix-array
+    stage, so the text all-to-all is proportional to the DUP fraction
+    of the corpus, not the corpus (SURVEY §7 hard part f)."""
+    import ray
+
+    import numpy as np
+    import pyarrow as pa
+
+    parts = list(labels.select_columns(["node", "label"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ))
+    if parts:
+        tbl = pa.concat_tables(parts)
+        nodes = tbl["node"].to_numpy(zero_copy_only=False)
+        labs = tbl["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes)
+        nodes, labs = nodes[order], labs[order]
+    else:
+        nodes = np.empty(0, dtype=np.int64)
+        labs = np.empty(0, dtype=np.int64)
+    ref = ray.put((nodes, labs))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ns, ls = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ns):
+            pos = np.searchsorted(ns, ids)
+            pos_c = np.clip(pos, 0, len(ns) - 1)
+            hit = ns[pos_c] == ids
+            cluster = np.where(hit, ls[pos_c], ids)
+        else:
+            hit = np.zeros(len(ids), dtype=bool)
+            cluster = ids
+        return pa.table({
+            id_col: batch[id_col],
+            text_col: batch[text_col],
+            "cluster_id": pa.array(cluster),
+            "in_dup_cluster": pa.array(hit),
+        })
+
+    tagged = docs.select_columns([id_col, text_col]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+    members = tagged.filter(expr="in_dup_cluster == True").drop_columns(
+        ["in_dup_cluster"]
+    )
+    singles = tagged.filter(expr="in_dup_cluster == False")
+
+    def single_out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster_id": batch["cluster_id"],
+            "substring_dropped": pa.array(
+                np.zeros(batch.num_rows, dtype=bool)
+            ),
+        })
+
+    dup_out = substring_dedup_in_clusters(
+        members, cfg, text_col=text_col, id_col=id_col
+    ).select_columns([id_col, "cluster_id", "substring_dropped"])
+    return dup_out.union(
+        singles.map_batches(single_out, batch_format="pyarrow")
+    )
+
+
 def substring_pairs_table(
     docs: pa.Table, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:

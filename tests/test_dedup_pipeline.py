@@ -316,3 +316,18 @@ def test_band_occupancy_histogram_matches_bruteforce(corpus, ray_session):
     occ, n_buckets = np.unique(per_key, return_counts=True)
     want = dict(zip(occ.tolist(), n_buckets.tolist()))
     assert got == want and 1 in want
+
+
+def test_assign_clusters_broadcast_matches_join(corpus, ray_session):
+    """The broadcast label lookup (no doc-table shuffle) must produce the
+    same assignments as the left-outer-join path."""
+    docs_tbl, _ = corpus
+    docs = rd.from_arrow(docs_tbl)
+    edges, _ = dup_edges(docs, CFG)
+    labels = connected_components(edges, CFG).materialize()
+    a = assign_clusters(docs, labels, CFG, mode="broadcast").to_pandas()
+    b = assign_clusters(docs, labels, CFG, mode="join").to_pandas()
+    a = a.sort_values("doc_id", ignore_index=True)
+    b = b.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+    assert (a.cluster_id <= a.doc_id).all()  # labels are component minima
