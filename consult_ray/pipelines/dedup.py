@@ -357,7 +357,17 @@ def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     Single hash-partitioned self-join on band_key generates all
     intra-bucket pairs; the simhash rides on both sides so verification
     is a vectorized popcount with no further join.
+
+    Band identity (kind, band index) rides through the join ONLY when
+    collision_threshold > 1: with hot_policy="salt" one band collision
+    appears in several salted triangle buckets and c>1 must count
+    DISTINCT band collisions (salt_hot_buckets contract) — the left
+    side's values equal the right side's because band_key determines
+    (kind, band). At c=1 the columns are pruned before the shuffle.
     """
+    carry_band = cfg.collision_threshold > 1
+    if not carry_band:
+        bands = bands.select_columns(["band_key", "doc_id", "simhash"])
     joined = bands.join(
         bands,
         join_type="inner",
@@ -378,22 +388,19 @@ def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
         sb = batch["simhash_r"].to_numpy(zero_copy_only=False)[keep].view(np.uint64)
         ham = popcount64(sa ^ sb)
         ok = ham <= p
-        # band identity (kind, band index) rides along: with
-        # hot_policy="salt" one band collision appears in several salted
-        # triangle buckets, and c>1 must count DISTINCT band collisions
-        # (salt_hot_buckets docstring contract) — the left side's values
-        # equal the right side's because band_key determines (kind, band)
-        kind = batch["band_kind_l"].to_numpy(zero_copy_only=False)[keep][ok]
-        band = batch["band_l"].to_numpy(zero_copy_only=False)[keep][ok]
-        return pa.table(
-            {
-                "a": pa.array(a[ok]),
-                "b": pa.array(b[ok]),
-                "hamming": pa.array(ham[ok].astype(np.int8)),
-                "band_kind": pa.array(kind),
-                "band": pa.array(band),
-            }
-        )
+        cols = {
+            "a": pa.array(a[ok]),
+            "b": pa.array(b[ok]),
+            "hamming": pa.array(ham[ok].astype(np.int8)),
+        }
+        if carry_band:
+            cols["band_kind"] = pa.array(
+                batch["band_kind_l"].to_numpy(zero_copy_only=False)[keep][ok]
+            )
+            cols["band"] = pa.array(
+                batch["band_l"].to_numpy(zero_copy_only=False)[keep][ok]
+            )
+        return pa.table(cols)
 
     return joined.map_batches(verify, batch_format="pyarrow")
 
