@@ -241,6 +241,72 @@ def append_to_band_library(
     return meta
 
 
+def init_band_library(
+    path: str,
+    cfg: PipelineConfig,
+    num_partitions: int = 16,
+    kinds: tuple[str, ...] = ("simhash", "minhash"),
+) -> dict:
+    """An empty library (for streaming ingest that starts from nothing)."""
+    assert num_partitions & (num_partitions - 1) == 0, "num_partitions must be 2^k"
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    manifest = {
+        "signature": _cfg_signature(cfg, kinds),
+        "num_partitions": num_partitions,
+        "partitions": [],
+    }
+    with open(os.path.join(tmp, _META), "w") as f:
+        json.dump(manifest, f)
+    with open(os.path.join(tmp, _SUCCESS), "w") as f:
+        f.write("")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return manifest
+
+
+def ingest_shard(
+    shard: Dataset,
+    library_path: str,
+    cfg: PipelineConfig,
+    kinds: tuple[str, ...] = ("simhash", "minhash"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """One step of the STREAMING dedup workload (the reference's
+    continuous-classification shape, main_search run per query set, made
+    stateful): classify the incoming shard against the resident library;
+    docs with no near-dup resident (matched == False) are NEW — they are
+    appended to the library and returned as survivors; matched docs are
+    duplicates of resident content and drop.
+
+    Like the reference, each doc classifies against the library AS OF
+    the shard start — duplicates WITHIN one shard are not cross-checked
+    (run exact/near dedup on the shard first if that matters). Returns
+    {"survivors": Dataset, "n_in": int, "n_new": int, "n_dup": int}.
+    """
+    out = classify_queries_partitioned(
+        shard, library_path, cfg, kinds=kinds, text_col=text_col, id_col=id_col
+    ).materialize()
+    n_in = out.count()
+    new_docs = out.filter(expr="matched == False").drop_columns(
+        ["matched", "match_count", "match_doc"]
+    ).materialize()
+    n_new = new_docs.count()
+    if n_new:
+        append_to_band_library(
+            new_docs, cfg, library_path, kinds=kinds,
+            text_col=text_col, id_col=id_col,
+        )
+    return {
+        "survivors": new_docs,
+        "n_in": int(n_in),
+        "n_new": int(n_new),
+        "n_dup": int(n_in - n_new),
+    }
+
+
 def read_library_meta(path: str) -> dict:
     assert os.path.exists(os.path.join(path, _SUCCESS)), (
         f"band library at {path} is incomplete (no _SUCCESS)"

@@ -144,3 +144,59 @@ def test_append_equals_rebuild(corpus_and_queries, tmp_path_factory):
     # idempotent re-append
     m_again = append_to_band_library(rd.from_arrow(b_tbl), CFG, lib_inc)
     assert m_again["partitions"] == m_full["partitions"]
+
+
+def test_streaming_ingest_dedups_across_shards(ray_session, tmp_path_factory):
+    """Streaming workload: shards classify against the library as of
+    their arrival; near-dups of RESIDENT docs drop, novel docs append.
+    The final library must equal a batch build over exactly the
+    surviving docs."""
+    import pyarrow.parquet as pq
+
+    from consult_ray.state.library import ingest_shard, init_band_library
+
+    c = make_pages_corpus(240, seed=33)
+    tbl = c.pages.append_column(
+        "doc_id", pa.array(np.arange(c.pages.num_rows))
+    ).select(["doc_id", "text"])
+    truth = c.truth.to_pandas()
+
+    lib = str(tmp_path_factory.mktemp("stream") / "band_tables")
+    init_band_library(lib, CFG, num_partitions=8)
+    n = tbl.num_rows
+    cut1, cut2 = n // 3, 2 * n // 3
+    shards = [tbl.slice(0, cut1), tbl.slice(cut1, cut2 - cut1), tbl.slice(cut2)]
+
+    all_survivor_ids = []
+    stats = []
+    for s in shards:
+        r = ingest_shard(rd.from_arrow(s), lib, CFG)
+        stats.append(r)
+        all_survivor_ids.extend(
+            r["survivors"].select_columns(["doc_id"]).to_pandas().doc_id
+        )
+    assert sum(r["n_in"] for r in stats) == n
+    # the synth corpus has exact dups whose base lands in an earlier
+    # shard for at least some pairs, so later shards must drop something
+    assert stats[1]["n_dup"] + stats[2]["n_dup"] > 0
+
+    # every exact duplicate of a doc ingested in an EARLIER shard drops
+    surv = set(all_survivor_ids)
+    kinds = dict(zip(range(n), truth.kind))
+    cluster_of = dict(zip(range(n), truth.truth_cluster))
+    for i in range(cut1, n):
+        if kinds[i] == "exact_dup" and cluster_of[i] < cut1:
+            assert i not in surv, f"exact dup {i} of resident {cluster_of[i]} kept"
+
+    # final library == batch build over the survivors
+    surv_tbl = tbl.filter(pa.array([int(d) in surv for d in range(n)]))
+    lib2 = str(tmp_path_factory.mktemp("batch") / "band_tables")
+    m2 = save_band_library(rd.from_arrow(surv_tbl), CFG, lib2, num_partitions=8)
+    from consult_ray.state.library import read_library_meta
+    m1 = read_library_meta(lib)
+    assert m1["partitions"] == m2["partitions"]
+    for p in m2["partitions"]:
+        part = int(p["part"])
+        ta = pq.read_table(f"{lib}/part-{part:05d}.parquet")
+        tb = pq.read_table(f"{lib2}/part-{part:05d}.parquet")
+        assert ta.equals(tb), part
