@@ -72,7 +72,7 @@ def _run_bench() -> None:
     jp_env = os.environ.get("GRAFT_JOIN_PARTITIONS")
     if jp_env:
         join_partitions = int(jp_env)
-        eff = float(join_partitions)
+        eff = None  # overridden: report no (fabricated) measurement
     else:
         eff = _effective_cores(num_cpus)
         join_partitions = max(2, min(num_cpus, int(eff)))
@@ -145,7 +145,7 @@ def _run_bench() -> None:
         "queries": timings,
         "sf": sf_dir,
         "num_cpus": num_cpus,
-        "effective_cores": round(eff, 1),
+        "effective_cores": round(eff, 1) if eff is not None else None,
         "join_partitions": join_partitions,
         "n_docs": int(n_docs),
         "docs_per_sec": round(n_docs / headline, 1),

@@ -108,22 +108,17 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.map_batches(_extract, batch_format="pyarrow")
 
     if args.mode == "minimize":
-        import tempfile
-
-        from consult_ray.pipelines.extra_queries import q_minimizers
+        # uses `docs` as prepared above: --id-col/--text-col honored and
+        # the pinned extraction already applied when --html-col is given
+        from consult_ray.pipelines.extra_queries import minimizers_dataset
 
         t0 = time.time()
-        with tempfile.TemporaryDirectory() as td:
-            # q_minimizers reads <dir>/documents.parquet; point it at the
-            # input by symlinking when the input is a file
-            src = args.input
-            if os.path.isfile(src):
-                os.symlink(os.path.abspath(src), os.path.join(td, "documents.parquet"))
-                src = td
-            out = q_minimizers(src).materialize()
-            os.makedirs(args.workdir, exist_ok=True)
-            out.write_parquet(os.path.join(args.workdir, "minimizers"))
-            n = out.count()
+        out = minimizers_dataset(
+            docs, text_col=args.text_col, id_col=args.id_col
+        ).materialize()
+        os.makedirs(args.workdir, exist_ok=True)
+        out.write_parquet(os.path.join(args.workdir, "minimizers"))
+        n = out.count()
         print(f"== minimized {n} docs in {time.time() - t0:.1f}s; "
               f"parquet under {args.workdir}/minimizers ==")
         return 0

@@ -234,15 +234,17 @@ class CheckpointedDedupPipeline:
             # Per-batch min pre-agg, then one tiny groupby(cluster_id).
             from ray.data.aggregate import Min
 
+            id_col = self.id_col
+
             def partial(batch: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
 
+                from consult_ray.util import grouped
+
                 alive = batch.filter(pc.invert(batch["substring_dropped"]))
-                return (
-                    alive.select(["cluster_id", self.id_col])
-                    .group_by("cluster_id")
-                    .aggregate([(self.id_col, "min")])
-                    .rename_columns(["cluster_id", self.id_col])
+                return grouped(
+                    alive.select(["cluster_id", id_col]),
+                    ["cluster_id"], [(id_col, "min")], [id_col],
                 )
 
             agg = (

@@ -192,6 +192,42 @@ def connected_components(
 BROADCAST_LABEL_LIMIT = 5_000_000
 
 
+def broadcast_labels(labels: Dataset):
+    """Collect a (node, label) dataset into node-sorted arrays and
+    ray.put them ONCE (shared by the broadcast assign path and the
+    substring stage's label routing)."""
+    import ray
+
+    parts = list(labels.select_columns(["node", "label"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ))
+    if parts:
+        tbl = pa.concat_tables(parts)
+        nodes = tbl["node"].to_numpy(zero_copy_only=False)
+        labs = tbl["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes)
+        nodes, labs = nodes[order], labs[order]
+    else:
+        nodes = np.empty(0, dtype=np.int64)
+        labs = np.empty(0, dtype=np.int64)
+    return ray.put((nodes, labs))
+
+
+def resolve_labels(ids: np.ndarray, nodes: np.ndarray, labs: np.ndarray):
+    """(hit, label): hit marks ids present in the label set; label is the
+    component label where hit, else the id itself (singleton)."""
+    ids = ids.astype(np.int64)
+    if len(nodes):
+        pos = np.searchsorted(nodes, ids)
+        pos_c = np.clip(pos, 0, len(nodes) - 1)
+        hit = nodes[pos_c] == ids
+        lab = np.where(hit, labs[pos_c], ids)
+    else:
+        hit = np.zeros(len(ids), dtype=bool)
+        lab = ids
+    return hit, lab
+
+
 def assign_clusters(
     docs: Dataset, labels: Dataset, cfg: PipelineConfig, id_col: str = "doc_id",
     mode: str = "auto",
@@ -211,30 +247,12 @@ def assign_clusters(
     if mode == "broadcast":
         import ray
 
-        parts = list(labels.select_columns(["node", "label"]).iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        ))
-        if parts:
-            tbl = pa.concat_tables(parts)
-            nodes = tbl["node"].to_numpy(zero_copy_only=False)
-            labs = tbl["label"].to_numpy(zero_copy_only=False)
-            order = np.argsort(nodes)
-            nodes, labs = nodes[order], labs[order]
-        else:
-            nodes = np.empty(0, dtype=np.int64)
-            labs = np.empty(0, dtype=np.int64)
-        ref = ray.put((nodes, labs))
+        ref = broadcast_labels(labels)
 
         def lookup(batch: pa.Table) -> pa.Table:
             ns, ls = ray.get(ref)
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(ns):
-                pos = np.searchsorted(ns, ids)
-                pos_c = np.clip(pos, 0, len(ns) - 1)
-                hit = ns[pos_c] == ids
-                lab = np.where(hit, ls[pos_c], ids)
-            else:
-                lab = ids
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            _, lab = resolve_labels(ids, ns, ls)
             return pa.table({id_col: batch[id_col], "cluster_id": pa.array(lab)})
 
         return docs.select_columns([id_col]).map_batches(lookup, batch_format="pyarrow")

@@ -425,10 +425,12 @@ def pair_count_threshold(edges: Dataset, cfg: PipelineConfig) -> Dataset:
     BAND_KEYS = ["a", "b", "band_kind", "band"]
 
     def dedupe_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(BAND_KEYS + ["hamming"]).group_by(BAND_KEYS).aggregate(
-            [("hamming", "min")]
+        from consult_ray.util import grouped
+
+        return grouped(
+            batch.select(BAND_KEYS + ["hamming"]),
+            BAND_KEYS, [("hamming", "min")], ["hamming"],
         )
-        return g.rename_columns(BAND_KEYS + ["hamming"])
 
     deduped = (
         edges.map_batches(dedupe_partial, batch_format="pyarrow")
@@ -437,10 +439,13 @@ def pair_count_threshold(edges: Dataset, cfg: PipelineConfig) -> Dataset:
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["a", "b"]).aggregate(
-            [("hamming", "min"), ("hamming", "count")]
+        from consult_ray.util import grouped
+
+        return grouped(
+            batch,
+            ["a", "b"], [("hamming", "min"), ("hamming", "count")],
+            ["hamming", "n"],
         )
-        return g.rename_columns(["a", "b", "hamming", "n"])
 
     counted = (
         deduped.map_batches(count_partial, batch_format="pyarrow")

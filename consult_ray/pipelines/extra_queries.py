@@ -91,14 +91,17 @@ def q_nation_order_value(sf_dir: str):
                      round_mode="half_towards_infinity"),
             pa.int64(),
         )
-        g = pa.table({
-            "o_custkey": batch["o_custkey"],
-            "total_cents": cents,
-            "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-        }).group_by("o_custkey").aggregate([
-            ("total_cents", "sum"), ("n_orders", "sum")
-        ])
-        return g.rename_columns(["o_custkey", "total_cents", "n_orders"])
+        from consult_ray.util import grouped
+
+        return grouped(
+            pa.table({
+                "o_custkey": batch["o_custkey"],
+                "total_cents": cents,
+                "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }),
+            ["o_custkey"], [("total_cents", "sum"), ("n_orders", "sum")],
+            ["total_cents", "n_orders"],
+        )
 
     per_cust = (
         orders.map_batches(partial, batch_format="pyarrow")
@@ -130,13 +133,14 @@ def q_nation_order_value(sf_dir: str):
 
 # --- minimizer (M1 analog) -------------------------------------------
 
-def q_minimizers(sf_dir: str):
+def minimizers_dataset(ds, k: int = 16, text_col: str = "text",
+                       id_col: str = "doc_id"):
     """Per-doc lexicographically-smallest k-substring — the direct
     web-text analog of CONSULT's minimizer extraction
     (/root/reference/minimization.cpp:158-180: slide a window, keep the
-    lexicographically smallest). k=16 over the raw text."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    K = 16
+    lexicographically smallest). Backs the `minimizers` query and the
+    CLI minimize mode."""
+    K = k
 
     def fn(batch: pa.Table) -> pa.Table:
         # Vectorized across the WHOLE batch (the per-doc lexsort +
@@ -147,7 +151,7 @@ def q_minimizers(sf_dir: str):
         # radix tournament whose per-round work is one gather + one
         # segmented min (np.minimum.reduceat). Code-point order ==
         # binary UTF-8 order, duckdb's default collation.
-        texts = [t or "" for t in batch["text"].to_pylist()]
+        texts = [t or "" for t in batch[text_col].to_pylist()]
         cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
         lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
         doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
@@ -181,9 +185,15 @@ def q_minimizers(sf_dir: str):
                 di = int(long_docs[d])
                 local = int(s - doc_off[di])
                 mins[di] = texts[di][local: local + K]
-        return pa.table({"doc_id": batch["doc_id"], "minimizer": pa.array(mins, pa.string())})
+        return pa.table({id_col: batch[id_col], "minimizer": pa.array(mins, pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_minimizers(sf_dir: str):
+    """Registered query: k=16 minimizers over the documents table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minimizers_dataset(ds)
 
 
 # --- set ops ---------------------------------------------------------
@@ -239,10 +249,12 @@ def q_top_users_by_value(sf_dir: str):
                      round_mode="half_towards_infinity"),
             pa.int64(),
         )
-        g = pa.table({"user_id": batch["user_id"], "total_cents": cents}).group_by(
-            "user_id"
-        ).aggregate([("total_cents", "sum")])
-        return g.rename_columns(["user_id", "total_cents"])
+        from consult_ray.util import grouped
+
+        return grouped(
+            pa.table({"user_id": batch["user_id"], "total_cents": cents}),
+            ["user_id"], [("total_cents", "sum")], ["total_cents"],
+        )
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -277,8 +277,9 @@ def preagg_group_sum(ds: Dataset, key: str, value: str, out_name: str) -> Datase
     pa.Table.group_by — no pandas round-trip in the partial)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select([key, value]).group_by(key).aggregate([(value, "sum")])
-        return g.rename_columns([key, out_name])
+        from consult_ray.util import grouped
+
+        return grouped(batch.select([key, value]), [key], [(value, "sum")], [out_name])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

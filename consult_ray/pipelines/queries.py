@@ -130,18 +130,22 @@ def q_lineitem_pricing(sf_dir: str):
             pc.round(batch["l_quantity"], round_mode="half_towards_infinity"),
             pa.int64(),
         )
-        g = pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "sum_qty": qty,
-                "sum_disc_price_e4": disc_e4,
-                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-            }
-        ).group_by(KEYS).aggregate([
-            ("sum_qty", "sum"), ("sum_disc_price_e4", "sum"), ("n", "sum")
-        ])
-        return g.rename_columns(KEYS + ["sum_qty", "sum_disc_price_e4", "n"])
+        from consult_ray.util import grouped
+
+        return grouped(
+            pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "l_linestatus": batch["l_linestatus"],
+                    "sum_qty": qty,
+                    "sum_disc_price_e4": disc_e4,
+                    "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                }
+            ),
+            KEYS,
+            [("sum_qty", "sum"), ("sum_disc_price_e4", "sum"), ("n", "sum")],
+            ["sum_qty", "sum_disc_price_e4", "n"],
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -44,12 +44,13 @@ def _utf8_concat_and_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 def _segment_column(
     text: pa.Array, min_chars: int
-) -> tuple[pa.Array, np.ndarray]:
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """M5 N-split analog (/root/reference/main_search.cpp:770-777): split
     each RAW text on blank-line boundaries, keep segments >= min_chars
-    (the token >= SL rule); docs with no surviving segment fall back to
-    their whole text. Returns (segments, seg_doc: doc index per segment;
-    every doc owns >= 1 segment)."""
+    (the token >= SL rule). Returns (segments, seg_doc: doc index per
+    kept segment, fallback_idx: docs with NO surviving segment — the
+    caller hashes those as one whole-doc shingle so no window ever
+    spans a boundary)."""
     import pyarrow.compute as pc
 
     n = len(text)
@@ -61,20 +62,12 @@ def _segment_column(
         pc.utf8_length(flat), pa.scalar(min_chars)
     ).to_numpy(zero_copy_only=False)
     kept = flat.filter(pa.array(keep))
-    kept_doc = seg_doc[keep]
-    covered = np.bincount(kept_doc, minlength=n) > 0
-    if covered.all():
-        return kept, kept_doc
-    fb_idx = np.nonzero(~covered)[0]
-    fb = text.take(pa.array(fb_idx))
     if isinstance(kept, pa.ChunkedArray):
         kept = kept.combine_chunks()
-    if isinstance(fb, pa.ChunkedArray):
-        fb = fb.combine_chunks()
-    return (
-        pa.concat_arrays([kept, fb]),
-        np.concatenate([kept_doc, fb_idx]),
-    )
+    kept_doc = seg_doc[keep]
+    covered = np.bincount(kept_doc, minlength=n) > 0
+    fb_idx = np.nonzero(~covered)[0]
+    return kept, kept_doc, fb_idx
 
 
 def fingerprint_batch(
@@ -98,13 +91,29 @@ def fingerprint_batch(
     if raw.null_count:
         raw = raw.fill_null("")
     if cfg.segment_split:
-        seg_arr, seg_doc = _segment_column(
+        from consult_ray.functions.hashing import hash_bytes_batch_u64
+
+        seg_arr, seg_doc, fb_idx = _segment_column(
             raw, cfg.segment_min_chars or cfg.shingle_k
         )
-        seg_canon = canonicalize_column(seg_arr)
-        concat, offsets = _utf8_concat_and_offsets(seg_canon)
-        h, seg_of = rolling_shingle_hashes(concat, offsets, cfg.shingle_k)
-        doc_of = seg_doc[seg_of]
+        if len(seg_arr):
+            seg_canon = canonicalize_column(seg_arr)
+            concat, offsets = _utf8_concat_and_offsets(seg_canon)
+            h, seg_of = rolling_shingle_hashes(concat, offsets, cfg.shingle_k)
+            doc_of = seg_doc[seg_of]
+        else:
+            h = np.empty(0, dtype=np.uint64)
+            doc_of = np.empty(0, dtype=np.int64)
+        if len(fb_idx):
+            # fallback docs (no segment >= min): ONE whole-doc canonical
+            # hash — never rolling shingles across the dropped boundaries
+            # (same seed=k semantics as the short-doc path of
+            # rolling_shingle_hashes, so identical short docs dedup)
+            fb_canon = canonicalize_column(raw.take(pa.array(fb_idx)))
+            fb_concat, fb_offs = _utf8_concat_and_offsets(fb_canon)
+            fb_h = hash_bytes_batch_u64(fb_concat, fb_offs, seed=cfg.shingle_k)
+            h = np.concatenate([h, fb_h])
+            doc_of = np.concatenate([doc_of, fb_idx])
         order = np.argsort(doc_of, kind="stable")
         hashes, doc_of = h[order], doc_of[order]
     else:

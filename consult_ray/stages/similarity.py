@@ -221,11 +221,15 @@ def embedding_dup_pairs_lsh(
         cos = np.einsum("ij,ij->i", va, vb)
         ok = cos >= tau
         e4 = np.floor(cos[ok] * 10000.0 + 0.5).astype(np.int64)
-        g = pa.table({
-            "a": pa.array(a[keep][ok]), "b": pa.array(b[keep][ok]),
-            "cos_e4": pa.array(e4),
-        }).group_by(["a", "b"]).aggregate([("cos_e4", "min")])
-        return g.rename_columns(["a", "b", "cos_e4"])
+        from consult_ray.util import grouped
+
+        return grouped(
+            pa.table({
+                "a": pa.array(a[keep][ok]), "b": pa.array(b[keep][ok]),
+                "cos_e4": pa.array(e4),
+            }),
+            ["a", "b"], [("cos_e4", "min")], ["cos_e4"],
+        )
 
     from ray.data.aggregate import Min
 

@@ -106,31 +106,14 @@ def substring_stage(
     import numpy as np
     import pyarrow as pa
 
-    parts = list(labels.select_columns(["node", "label"]).iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ))
-    if parts:
-        tbl = pa.concat_tables(parts)
-        nodes = tbl["node"].to_numpy(zero_copy_only=False)
-        labs = tbl["label"].to_numpy(zero_copy_only=False)
-        order = np.argsort(nodes)
-        nodes, labs = nodes[order], labs[order]
-    else:
-        nodes = np.empty(0, dtype=np.int64)
-        labs = np.empty(0, dtype=np.int64)
-    ref = ray.put((nodes, labs))
+    from consult_ray.pipelines.cluster import broadcast_labels, resolve_labels
+
+    ref = broadcast_labels(labels)
 
     def attach(batch: pa.Table) -> pa.Table:
         ns, ls = ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ns):
-            pos = np.searchsorted(ns, ids)
-            pos_c = np.clip(pos, 0, len(ns) - 1)
-            hit = ns[pos_c] == ids
-            cluster = np.where(hit, ls[pos_c], ids)
-        else:
-            hit = np.zeros(len(ids), dtype=bool)
-            cluster = ids
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hit, cluster = resolve_labels(ids, ns, ls)
         return pa.table({
             id_col: batch[id_col],
             text_col: batch[text_col],

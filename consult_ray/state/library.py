@@ -179,13 +179,25 @@ def append_to_band_library(
     library built from A yields byte-identical partitions to building
     from A ∪ B (pytest-asserted). Per-partition writes are atomic
     (tmp + rename); _meta is rewritten last."""
-    meta = read_library_meta(path)
-    check_signature(meta, cfg, kinds)
-    num_partitions = int(meta["num_partitions"])
     from consult_ray.pipelines.dedup import band_rows, fingerprints
 
     fp = fingerprints(new_docs, cfg, text_col=text_col, id_col=id_col)
     bands = band_rows(fp, cfg, kinds=kinds)
+    return append_band_rows(bands, cfg, path, kinds=kinds)
+
+
+def append_band_rows(
+    bands: Dataset,
+    cfg: PipelineConfig,
+    path: str,
+    kinds: tuple[str, ...] = ("simhash", "minhash"),
+) -> dict:
+    """append_to_band_library's core, taking PRE-COMPUTED band rows —
+    streaming ingest reuses the band rows it already computed for
+    classification instead of fingerprinting every novel doc twice."""
+    meta = read_library_meta(path)
+    check_signature(meta, cfg, kinds)
+    num_partitions = int(meta["num_partitions"])
 
     def add_part(batch: pa.Table) -> pa.Table:
         keys = batch["band_key"].to_numpy(zero_copy_only=False)
@@ -283,11 +295,21 @@ def ingest_shard(
 
     Like the reference, each doc classifies against the library AS OF
     the shard start — duplicates WITHIN one shard are not cross-checked
-    (run exact/near dedup on the shard first if that matters). Returns
+    (run exact/near dedup on the shard first if that matters). The
+    shard fingerprints ONCE: its band rows serve classification and,
+    filtered to the novel docs, the library append. Returns
     {"survivors": Dataset, "n_in": int, "n_new": int, "n_dup": int}.
     """
+    import ray
+
+    from consult_ray.pipelines.dedup import band_rows, fingerprints
+
+    fp = fingerprints(shard, cfg, text_col=text_col, id_col=id_col)
+    bands = band_rows(fp, cfg, kinds=kinds).materialize()
+
     out = classify_queries_partitioned(
-        shard, library_path, cfg, kinds=kinds, text_col=text_col, id_col=id_col
+        shard, library_path, cfg, kinds=kinds, text_col=text_col,
+        id_col=id_col, bands=bands,
     ).materialize()
     n_in = out.count()
     new_docs = out.filter(expr="matched == False").drop_columns(
@@ -295,9 +317,22 @@ def ingest_shard(
     ).materialize()
     n_new = new_docs.count()
     if n_new:
-        append_to_band_library(
-            new_docs, cfg, library_path, kinds=kinds,
-            text_col=text_col, id_col=id_col,
+        new_ids = np.sort(np.fromiter(
+            (r[id_col] for r in new_docs.select_columns([id_col]).take_all()),
+            dtype=np.int64, count=n_new,
+        ))
+        ref = ray.put(new_ids)
+
+        def only_new(batch: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, docs)
+            pos_c = np.clip(pos, 0, len(ids) - 1)
+            return batch.filter(pa.array(ids[pos_c] == docs))
+
+        append_band_rows(
+            bands.map_batches(only_new, batch_format="pyarrow"),
+            cfg, library_path, kinds=kinds,
         )
     return {
         "survivors": new_docs,
@@ -340,17 +375,33 @@ def load_partition_csr(path: str, part: int) -> BandTableCSR:
 
 
 # per-worker-process partition cache: repeated probe tasks on the same
-# worker reuse the loaded CSR instead of re-reading parquet
-_PART_CACHE: dict[tuple[str, int], BandTableCSR] = {}
+# worker reuse the loaded CSR instead of re-reading parquet. The key
+# includes the part file's (mtime_ns, size) identity so a library
+# rewritten in place (append_to_band_library, re-save) invalidates
+# stale entries — long-lived Ray workers otherwise serve the OLD CSR
+# and streaming ingest silently keeps duplicates.
+_PART_CACHE: dict[tuple, BandTableCSR] = {}
 _PART_CACHE_MAX = 8
 
 
+def _part_file_version(path: str, part: int) -> tuple:
+    f = _part_path(path, part)
+    try:
+        st = os.stat(f)
+        return (st.st_mtime_ns, st.st_size)
+    except FileNotFoundError:
+        return (None, None)
+
+
 def _cached_partition(path: str, part: int) -> BandTableCSR:
-    key = (path, part)
+    key = (path, part, *_part_file_version(path, part))
     hit = _PART_CACHE.get(key)
     if hit is not None:
         return hit
     csr = load_partition_csr(path, part)
+    # drop any stale versions of this partition, then bound the cache
+    for k in [k for k in _PART_CACHE if k[:2] == (path, part)]:
+        _PART_CACHE.pop(k, None)
     if len(_PART_CACHE) >= _PART_CACHE_MAX:
         _PART_CACHE.pop(next(iter(_PART_CACHE)))
     _PART_CACHE[key] = csr
@@ -401,18 +452,22 @@ def classify_queries_partitioned(
     kinds: tuple[str, ...] = ("simhash", "minhash"),
     text_col: str = "text",
     id_col: str = "doc_id",
+    bands: Dataset | None = None,
 ) -> Dataset:
     """Stream query docs against a persisted band library with key-range
     routing. Output schema == state.lookup.classify_queries (queries +
-    matched/match_count/match_doc)."""
+    matched/match_count/match_doc). Pass pre-computed `bands` (the
+    queries' band rows) to skip the fingerprint pass — streaming ingest
+    shares one fingerprinting between classify and append."""
     from consult_ray.pipelines.dedup import band_rows, fingerprints
 
     meta = read_library_meta(library_path)
     check_signature(meta, cfg, kinds)
     num_partitions = int(meta["num_partitions"])
 
-    fp = fingerprints(queries, cfg, text_col=text_col, id_col=id_col)
-    bands = band_rows(fp, cfg, kinds=kinds)
+    if bands is None:
+        fp = fingerprints(queries, cfg, text_col=text_col, id_col=id_col)
+        bands = band_rows(fp, cfg, kinds=kinds)
 
     def add_part(batch: pa.Table) -> pa.Table:
         keys = batch["band_key"].to_numpy(zero_copy_only=False)

@@ -2,9 +2,26 @@
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray
 
 from consult_ray.config import PipelineConfig
+
+
+def grouped(
+    table: pa.Table,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    out_names: list[str],
+) -> pa.Table:
+    """pa.Table.group_by().aggregate() with VERSION-SAFE output naming:
+    aggregate columns are selected by their generated '{col}_{agg}'
+    names before the positional rename, so the key-vs-aggregate column
+    order (which changed across pyarrow releases) can never silently
+    transpose data."""
+    g = table.group_by(keys).aggregate(aggs)
+    gen = [f"{c}_{a}" for c, a in aggs]
+    return g.select(keys + gen).rename_columns(keys + out_names)
 
 
 def cluster_cpus() -> int:

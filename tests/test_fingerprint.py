@@ -145,3 +145,22 @@ def test_segment_split_short_segments_drop_with_fallback():
                    "text": pa.array(["ab\n\ncd"])})
     f3 = fingerprint_batch(b3, cfg)
     assert f3["n_shingles"][0].as_py() == 1
+
+
+def test_segment_split_fallback_is_single_hash_even_when_long():
+    """A doc made ONLY of sub-minimum segments must fall back to exactly
+    one whole-doc shingle even when its total length exceeds shingle_k —
+    never rolling windows across the dropped boundaries (the documented
+    M5 contract)."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from consult_ray.stages.fingerprint import fingerprint_batch
+
+    cfg = dataclasses.replace(CFG, segment_split=True)
+    text = "\n\n".join(["tinyseg {:02d}".format(i) for i in range(10)])
+    assert len(text) > cfg.shingle_k
+    b = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])})
+    fp = fingerprint_batch(b, cfg)
+    assert fp["n_shingles"][0].as_py() == 1
