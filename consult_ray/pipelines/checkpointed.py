@@ -204,7 +204,11 @@ class CheckpointedDedupPipeline:
         edges = self._run_stage("edges", build_edges)
 
         labels = self._run_stage(
-            "labels", lambda: (cluster_mod.connected_components(edges, cfg), {})
+            "labels",
+            lambda: (cluster_mod.connected_components(
+                edges, cfg,
+                checkpoint_dir=os.path.join(self.workdir, "cc_rounds"),
+            ), {}),
         )
 
         clusters = self._run_stage(

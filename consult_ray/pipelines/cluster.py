@@ -123,17 +123,64 @@ def _contract_blocks(edges: Dataset) -> Dataset:
 
 
 def connected_components_distributed(
-    edges: Dataset, cfg: PipelineConfig
+    edges: Dataset, cfg: PipelineConfig, checkpoint_dir: str | None = None
 ) -> Dataset:
     """(a, b) edges -> (node, label) via per-block contraction + global
-    min-label propagation."""
-    labels = _edge_nodes(edges).materialize()
-    edges = _contract_blocks(edges.select_columns(["a", "b"])).materialize()
+    min-label propagation.
+
+    checkpoint_dir: when set, every propagation round writes its labels
+    to <dir>/cc_round_<i>/ (atomic tmp+rename with _SUCCESS and the
+    convergence witness in _meta.json), and a re-run RESUMES from the
+    last complete round — the per-iteration checkpointing of SURVEY §7
+    step 5. Rounds are idempotent (labels only decrease, min-label is
+    monotone), so resuming mid-convergence is value-identical."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    labels = None
     prev_sum = None
-    for _ in range(cfg.cc_max_iters):
+    start_round = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        done = sorted(
+            int(d.split("_")[-1]) for d in os.listdir(checkpoint_dir)
+            if d.startswith("cc_round_")
+            and os.path.exists(os.path.join(checkpoint_dir, d, "_SUCCESS"))
+        )
+        if done:
+            last = done[-1]
+            path = os.path.join(checkpoint_dir, f"cc_round_{last}")
+            labels = rd.read_parquet(path)
+            with open(os.path.join(path, "_meta.json")) as f:
+                meta = json.load(f)
+            # the next round compares against the sum AFTER the resumed
+            # round (the loop's prev_sum = cur assignment)
+            prev_sum = meta["label_sum"]
+            start_round = last + 1
+
+    if labels is None:
+        labels = _edge_nodes(edges).materialize()
+    edges = _contract_blocks(edges.select_columns(["a", "b"])).materialize()
+    for i in range(start_round, cfg.cc_max_iters):
         labels = _propagate_round(edges, labels, resolve_join_partitions(cfg)).materialize()
         row = labels.aggregate(Sum("label", alias_name="s"))
         cur = row["s"] if isinstance(row, dict) else row
+        if checkpoint_dir:
+            path = os.path.join(checkpoint_dir, f"cc_round_{i}")
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            labels.write_parquet(tmp)
+            with open(os.path.join(tmp, "_meta.json"), "w") as f:
+                json.dump({"round": i, "label_sum_before": prev_sum,
+                           "label_sum": int(cur)}, f)
+            with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+                f.write("")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur
@@ -168,12 +215,15 @@ def connected_components_driver(edges: Dataset) -> Dataset:
 
 
 def connected_components(
-    edges: Dataset, cfg: PipelineConfig, mode: str = "auto"
+    edges: Dataset, cfg: PipelineConfig, mode: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> Dataset:
     """(node, label) for every node appearing in an edge.
 
     mode: "auto" (driver below DRIVER_EDGE_LIMIT edges), "driver",
-    "distributed".
+    "distributed". checkpoint_dir enables per-round checkpoints on the
+    distributed path (ignored by the driver path, whose whole run is
+    one cheap step).
     """
     if mode == "auto":
         # materialize once: count() would otherwise execute the whole
@@ -182,7 +232,7 @@ def connected_components(
         mode = "driver" if edges.count() <= DRIVER_EDGE_LIMIT else "distributed"
     if mode == "driver":
         return connected_components_driver(edges)
-    return connected_components_distributed(edges, cfg)
+    return connected_components_distributed(edges, cfg, checkpoint_dir=checkpoint_dir)
 
 
 # Labels are 16 B/row; 5M rows = 80 MB broadcast once via ray.put — far

@@ -331,3 +331,33 @@ def test_assign_clusters_broadcast_matches_join(corpus, ray_session):
     b = b.sort_values("doc_id", ignore_index=True)
     assert a.equals(b)
     assert (a.cluster_id <= a.doc_id).all()  # labels are component minima
+
+
+def test_distributed_cc_round_checkpoint_resume(ray_session, tmp_path):
+    """SURVEY §7 step 5: the distributed CC path checkpoints every
+    propagation round; a crash that loses the last round resumes from
+    the previous one and converges to identical labels."""
+    import os
+    import shutil
+
+    n = 600
+    edges = pa.table({
+        "a": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "b": pa.array(np.arange(1, n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(edges).repartition(6).materialize()
+    d = str(tmp_path / "cc")
+    r1 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
+    rounds = [x for x in os.listdir(d) if x.startswith("cc_round_")]
+    assert len(rounds) >= 2, "path graph must need multiple rounds"
+    assert set(r1.label) == {0}
+
+    # crash simulation: lose the last completed round, rerun
+    last = max(int(x.split("_")[-1]) for x in rounds)
+    shutil.rmtree(os.path.join(d, f"cc_round_{last}"))
+    r2 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
+    assert dict(zip(r1.node, r1.label)) == dict(zip(r2.node, r2.label))
+
+    # fully-converged dir: rerun is a fast fixpoint re-check, same labels
+    r3 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
+    assert dict(zip(r1.node, r1.label)) == dict(zip(r3.node, r3.label))
