@@ -262,7 +262,7 @@ def q_fingerprints(sf_dir: str):
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(
-        LangIdStage, batch_format="pyarrow", batch_size=256, concurrency=2
+        LangIdStage, batch_format="pyarrow", batch_size=2048, concurrency=2
     ).select_columns(["doc_id", "lang_pred"])
 
 

@@ -264,3 +264,32 @@ def test_embedding_lsh_pairs_recall_vs_bruteforce(ray_session):
     assert got <= brute, "precision must be exact (cosine-verified)"
     recall = len(got & brute) / len(brute)
     assert recall >= 0.99, f"recall {recall:.4f}"
+
+
+def test_minimizers_match_bruteforce_random_unicode(ray_session):
+    """The batch radix-tournament minimizer must equal the brute-force
+    min-over-windows on random unicode docs (incl. empty/short/repeat)."""
+    import ray.data as rd
+
+    from consult_ray.pipelines.extra_queries import minimizers_dataset
+
+    rng = np.random.default_rng(11)
+    K = 16
+    texts = []
+    for _ in range(80):
+        n = int(rng.integers(0, 200))
+        texts.append("".join(chr(int(c)) for c in rng.integers(32, 1200, n)))
+    texts += ["", "short", "a" * 40, "ab" * 30, "zz" + "a" * 20 + "zz"]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = minimizers_dataset(rd.from_arrow(tbl), k=K).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+
+    def brute(t):
+        return t if len(t) <= K else min(t[i: i + K] for i in range(len(t) - K + 1))
+
+    for i, t in enumerate(texts):
+        assert got.minimizer[i] == brute(t), i
