@@ -75,7 +75,19 @@ def _run_bench() -> None:
         eff = None  # overridden: report no (fabricated) measurement
     else:
         eff = _effective_cores(num_cpus)
-        join_partitions = max(2, min(num_cpus, int(eff)))
+        # the probe is a 1.5 s point sample of a quantity that swings
+        # minute to minute; a momentarily idle host can read ~full
+        # advertised cores while the multi-minute RUN averages ~10-14.
+        # Partition-count sweeps at the best observed delivery still
+        # favored small counts (jp 8 -> 21.7 s, 16 -> 23.7 s,
+        # 32 -> 38.9 s at 32 vCPUs), so cap at the sustained ceiling.
+        # ...and a momentarily LOADED host can read ~2; clamp the point
+        # sample into the band the host actually sustains so one bad
+        # probe doesn't starve (or flood) a run that sees average weather
+        SUSTAINED_LO, SUSTAINED_HI = 6, 12
+        join_partitions = max(
+            2, min(num_cpus, max(SUSTAINED_LO, min(int(eff), SUSTAINED_HI)))
+        )
         os.environ["GRAFT_JOIN_PARTITIONS"] = str(join_partitions)
 
     ray.init(
