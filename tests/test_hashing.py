@@ -139,3 +139,50 @@ def test_batch_doc_hash_matches_scalar():
     got = hash_bytes_batch_u64(concat, offsets)
     want = np.array([hash_bytes_u64(d) for d in docs], dtype=np.uint64)
     assert (got == want).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=70), min_size=0, max_size=40),
+    cap=st.integers(min_value=1, max_value=32),
+)
+def test_capped_gather_idx_property(sizes, cap):
+    """_capped_gather_idx must select exactly the first min(size, cap)
+    elements of each run, in order."""
+    from consult_ray.state.lookup import _capped_gather_idx
+
+    sizes_arr = np.array(sizes, dtype=np.int64)
+    starts = np.zeros(len(sizes_arr), dtype=np.int64)
+    if len(sizes_arr):
+        np.cumsum(sizes_arr[:-1], out=starts[1:])
+    idx, keep = _capped_gather_idx(starts, sizes_arr, cap)
+    want = []
+    for s, n in zip(starts, sizes_arr):
+        want.extend(range(int(s), int(s) + min(int(n), cap)))
+    assert idx.tolist() == want
+    assert keep.tolist() == [min(int(n), cap) for n in sizes_arr]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                  min_size=0, max_size=200),
+    log_p=st.integers(min_value=0, max_value=8),
+)
+def test_partition_of_property(keys, log_p):
+    """Key-range routing: every key maps into [0, P); the mapping is the
+    top bits of the unsigned key, so partition boundaries are contiguous
+    key ranges (sorting by unsigned key sorts by partition)."""
+    from consult_ray.state.library import partition_of
+
+    P = 1 << log_p
+    arr = np.array(keys, dtype=np.int64)
+    parts = partition_of(arr, P)
+    assert ((parts >= 0) & (parts < P)).all()
+    u = arr.view(np.uint64)
+    order = np.argsort(u)
+    assert (np.diff(parts[order]) >= 0).all(), "routing must be range-contiguous"
