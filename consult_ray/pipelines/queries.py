@@ -259,6 +259,21 @@ def q_fingerprints(sf_dir: str):
     return fp.select_columns(["doc_id", "simhash", "n_shingles"])
 
 
+def q_doc_content_hashes(sf_dir: str):
+    """Whole-document rolling-hash fingerprints (the exact-dedup content
+    key as a first-class surface). No SQL oracle — the 64-bit polynomial
+    hash is engine-internal; determinism + bit-equality with the scalar
+    reference implementation are pytest-asserted
+    (tests/test_hashing.py::test_batch_doc_hash_matches_scalar)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    from consult_ray.stages.text import doc_fingerprint_batch
+
+    return docs.map_batches(
+        lambda b: doc_fingerprint_batch(b).select(["doc_id", "content_hash"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(
@@ -485,6 +500,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "fingerprints": q_fingerprints,
     "lang_id": q_lang_id,
+    "doc_content_hashes": q_doc_content_hashes,
     "quality_scores": q_quality_scores,
     "substring_dedup": q_substring_dedup,
     "knn_lsh": q_knn_lsh,
