@@ -18,6 +18,8 @@ Modes (one per reference binary, plus the flagship pipeline):
     --workdir (the ucseq_ anti-join split).
   * minimize: main_minimization analog — per-doc lexicographically
     smallest k-window (k=16), written as parquet under --workdir.
+  * library-stats: occupancy report over a persisted library (the
+    reference's build-time histogram, main_map.cpp:1167-1197).
 
 Owns its Ray session only when none exists (the driver contract:
 library code never calls ray.init unconditionally).
@@ -34,13 +36,14 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="consult_ray")
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--input", default=None,
                     help="parquet file/dir with doc_id + text columns "
-                         "(url-keyed pages tables work via --id-col url)")
+                         "(url-keyed pages tables work via --id-col url); "
+                         "required for every mode except library-stats")
     ap.add_argument("--workdir", required=True, help="checkpoint directory")
     ap.add_argument("--mode",
                     choices=["dedup", "build-library", "search-library",
-                             "minimize"],
+                             "minimize", "library-stats"],
                     default="dedup")
     ap.add_argument("--library", default=None,
                     help="band-table library dir (build-library output / "
@@ -88,6 +91,42 @@ def main(argv: list[str] | None = None) -> int:
     cfg = dataclasses.replace(
         PipelineConfig(), hot_policy=args.hot_policy, census_mode=args.census_mode
     )
+
+    if args.mode == "library-stats":
+        # the A3 occupancy report over a persisted library
+        # (/root/reference/main_map.cpp:1167-1197's analog, offline)
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from consult_ray.state.library import read_library_meta
+
+        assert args.library, "--library required for library-stats"
+        meta = read_library_meta(args.library)
+        hist: dict[int, int] = {}
+        total_rows = total_keys = total_dropped = 0
+        for p in meta["partitions"]:
+            part = int(p["part"])
+            total_rows += int(p["rows"])
+            total_keys += int(p["n_keys"])
+            total_dropped += int(p.get("dropped", 0))
+            f = os.path.join(args.library, f"part-{part:05d}.parquet")
+            keys = pq.read_table(f, columns=["band_key"])["band_key"].to_numpy(
+                zero_copy_only=False)
+            _, per_key = np.unique(keys, return_counts=True)
+            occ, n = np.unique(per_key, return_counts=True)
+            for o, c in zip(occ.tolist(), n.tolist()):
+                hist[o] = hist.get(o, 0) + c
+        print(f"== band library {args.library}: {total_rows} rows, "
+              f"{total_keys} keys, {len(meta['partitions'])}/"
+              f"{meta['num_partitions']} partitions, "
+              f"{total_dropped} rows dropped past cap ==")
+        n_buckets = sum(hist.values()) or 1
+        for occ in sorted(hist):
+            frac = hist[occ] / n_buckets
+            print(f"  occupancy {occ:>3}: {hist[occ]:>10} buckets ({frac:.4%})")
+        return 0
+
+    assert args.input, f"--input required for mode {args.mode}"
     content_col = args.html_col or args.text_col
     docs = rd.read_parquet(args.input, columns=[args.id_col, content_col])
 

@@ -361,3 +361,26 @@ def test_distributed_cc_round_checkpoint_resume(ray_session, tmp_path):
     # fully-converged dir: rerun is a fast fixpoint re-check, same labels
     r3 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
     assert dict(zip(r1.node, r1.label)) == dict(zip(r3.node, r3.label))
+
+
+def test_pipeline_handles_doc_ids_above_32_bits(ray_session):
+    """10^12-doc credibility: ids above 2^32 must flow through
+    fingerprint -> bands -> join -> CC -> assignment unchanged (the
+    driver CC's packed-pair dedup falls back gracefully)."""
+    c = make_pages_corpus(120, seed=13)
+    base_ids = np.arange(c.pages.num_rows, dtype=np.int64)
+    OFF = np.int64(1) << 33
+
+    def run(ids):
+        tbl = c.pages.append_column("doc_id", pa.array(ids)).select(
+            ["doc_id", "text"]
+        )
+        docs = rd.from_arrow(tbl)
+        edges, _ = dup_edges(docs, CFG)
+        labels = connected_components(edges, CFG)
+        df = assign_clusters(docs, labels, CFG).to_pandas()
+        return dict(zip(df.doc_id, df.cluster_id))
+
+    small = run(base_ids)
+    big = run(base_ids + OFF)
+    assert big == {k + OFF: v + OFF for k, v in small.items()}
