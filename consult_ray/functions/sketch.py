@@ -67,3 +67,45 @@ def cms_estimate(
     for d in range(1, depth):
         est = np.minimum(est, sketch[d][idx[d]])
     return est
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — approximate distinct counting.
+# Registers merge by MAX, which a plain groupby-max distributes, so the
+# shuffle carries at most 2^p rows per group key regardless of input
+# size (the exact COUNT(DISTINCT) path shuffles every distinct pair).
+# ---------------------------------------------------------------------
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros via bit smearing + popcount."""
+    x = x.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    from consult_ray.functions.hashing import popcount64
+
+    return 64 - popcount64(x)
+
+
+def hll_register_updates(keys: np.ndarray, p: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register_idx, rho) per key: idx = top p hash bits, rho = 1 +
+    leading zeros of the remaining 64-p bits (capped at 64-p+1)."""
+    h = splitmix64(np.ascontiguousarray(keys).view(np.uint64) ^ U64(seed))
+    idx = (h >> U64(64 - p)).astype(np.int64)
+    w = h << U64(p)
+    rho = np.where(
+        w == 0, np.int64(64 - p + 1), (_clz64(w) + 1).astype(np.int64)
+    )
+    return idx, np.minimum(rho, 64 - p + 1)
+
+
+def hll_estimate(registers: np.ndarray, p: int) -> float:
+    """Distinct-count estimate from a dense 2^p register array (missing
+    registers = 0), with the standard small-range linear counting
+    correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return float(est)

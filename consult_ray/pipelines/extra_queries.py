@@ -236,6 +236,34 @@ def q_distinct_users_daily(sf_dir: str):
     return distinct_count_by(daily, "day", "user_id", out_name="n_users")
 
 
+def q_approx_distinct_users_daily(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user) per day — the sketch
+    twin of distinct_users_daily: the shuffle carries at most 2^p
+    register rows per day instead of one row per (day, user) pair. No
+    SQL oracle (estimates are approximate by construction); pytest
+    asserts <=2% relative error vs the exact counts."""
+    from consult_ray.pipelines.operators import approx_distinct_count_by
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day_us": pc.floor_temporal(batch["ts"], unit="day").cast(pa.int64()),
+            "user_id": batch["user_id"],
+        })
+
+    daily = ds.map_batches(add_day, batch_format="pyarrow")
+    agg = approx_distinct_count_by(daily, "day_us", "user_id", out_name="n_users_approx")
+
+    def restore_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch["day_us"].cast(pa.timestamp("us")),
+            "n_users_approx": batch["n_users_approx"],
+        })
+
+    return agg.map_batches(restore_day, batch_format="pyarrow")
+
+
 def q_top_users_by_value(sf_dir: str):
     """Top-20 users by total event value. Values convert to integer cents
     per row BEFORE summing so the distributed sum is associative and
@@ -505,6 +533,7 @@ EXTRA_QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "token_stats_bpe": q_token_stats_bpe,
     "top_words": q_top_words,
+    "approx_distinct_users_daily": q_approx_distinct_users_daily,
 }
 
 EXTRA_ORACLE_SQL = {

@@ -272,6 +272,64 @@ def distinct_count_by(
     return preagg_group_count(deduped, group_key, out_name)
 
 
+def approx_distinct_count_by(
+    ds: Dataset,
+    group_key: str,
+    distinct_key: str,
+    out_name: str = "n_distinct_approx",
+    p: int = 12,
+    seed: int = 7,
+) -> Dataset:
+    """Approximate COUNT(DISTINCT distinct_key) GROUP BY group_key via
+    HyperLogLog (relative error ~1.04/sqrt(2^p), ~1.6% at p=12).
+
+    The exact path (distinct_count_by) shuffles one row per distinct
+    (group, value) pair — unbounded. Here each batch folds its values
+    into per-(group, register) maxima, the only shuffle is a
+    groupby-max over at most 2^p rows per group key, and a per-group
+    pass reduces registers to the estimate. This is the plan shape an
+    exact count cannot have at 10^12 rows."""
+    from consult_ray.functions.sketch import hll_estimate, hll_register_updates
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[distinct_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx, rho = hll_register_updates(v.view(np.uint64), p, seed)
+        # per-batch pre-combine: max rho per (group, register). Lexsort,
+        # not bit-packing — group values may be epoch timestamps whose
+        # magnitude would overflow a packed int64
+        order = np.lexsort((idx, g))
+        g_s, i_s, r_s = g[order], idx[order], rho[order]
+        starts = np.flatnonzero(
+            np.r_[True, (g_s[1:] != g_s[:-1]) | (i_s[1:] != i_s[:-1])]
+        )
+        maxes = np.maximum.reduceat(r_s, starts) if len(starts) else r_s[:0]
+        return pa.table({
+            group_key: pa.array(g_s[starts]),
+            "reg": pa.array(i_s[starts]),
+            "rho": pa.array(maxes),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_key, "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << p, dtype=np.int64)
+        regs[g["reg"].to_numpy(zero_copy_only=False)] = g["rho"].to_numpy(
+            zero_copy_only=False
+        )
+        est = hll_estimate(regs, p)
+        return pa.table({
+            group_key: g[group_key].slice(0, 1),
+            out_name: pa.array([int(round(est))], pa.int64()),
+        })
+
+    return merged.groupby(group_key).map_groups(finalize, batch_format="pyarrow")
+
+
 def preagg_group_sum(ds: Dataset, key: str, value: str, out_name: str) -> Dataset:
     """groupby(key).sum(value) with per-batch combining (Arrow-native —
     pa.Table.group_by — no pandas round-trip in the partial)."""

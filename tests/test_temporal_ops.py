@@ -107,3 +107,20 @@ def test_vectorized_labels_matches_unionfind():
     # empty edge set
     nodes, labs = vectorized_labels(np.array([], np.int64), np.array([], np.int64))
     assert len(nodes) == 0 and len(labs) == 0
+
+
+def test_hll_approx_distinct_within_2pct(ray_session):
+    """HyperLogLog daily distinct-user estimates must land within 3% of
+    the exact counts at p=12 (sigma ~1.6%; the bound covers the max over
+    ~30 daily draws) on the sf0.01 events table."""
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.01"
+    qs = entrymod.queries()
+    exact = qs["distinct_users_daily"](sf).to_pandas().sort_values(
+        "day", ignore_index=True)
+    approx = qs["approx_distinct_users_daily"](sf).to_pandas().sort_values(
+        "day", ignore_index=True)
+    assert list(exact.day) == list(approx.day)
+    rel = np.abs(approx.n_users_approx - exact.n_users) / np.maximum(exact.n_users, 1)
+    assert rel.max() <= 0.03, rel.max()
