@@ -56,8 +56,11 @@ def _effective_cores(n: int) -> float:
             p.join()
         return total
 
-    single = run(1)
-    return max(1.0, run(n) / max(single, 1))
+    # the single-process baseline is itself weather-exposed — a stolen
+    # slice there inflates the ratio past n (observed: "44 effective of
+    # 8"); take the best of two baselines and cap at n
+    single = max(run(1), run(1))
+    return min(float(n), max(1.0, run(n) / max(single, 1)))
 
 
 def _run_bench() -> None:
