@@ -40,7 +40,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet file/dir with doc_id + text columns "
                          "(url-keyed pages tables work via --id-col url); "
                          "required for every mode except library-stats")
-    ap.add_argument("--workdir", required=True, help="checkpoint directory")
+    ap.add_argument("--workdir", default=None,
+                    help="checkpoint/output directory; required for every "
+                         "mode except library-stats")
     ap.add_argument("--mode",
                     choices=["dedup", "build-library", "search-library",
                              "minimize", "library-stats"],
@@ -65,6 +67,43 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="ray.init num_cpus when starting a new local session")
     args = ap.parse_args(argv)
+
+    if args.mode == "library-stats":
+        # the A3 occupancy report over a persisted library
+        # (/root/reference/main_map.cpp:1167-1197's analog). Purely local
+        # pyarrow/numpy — runs BEFORE any Ray session starts.
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from consult_ray.state.library import _part_path, read_library_meta
+
+        assert args.library, "--library required for library-stats"
+        meta = read_library_meta(args.library)
+        hist: dict[int, int] = {}
+        total_rows = total_keys = total_dropped = 0
+        for p in meta["partitions"]:
+            part = int(p["part"])
+            total_rows += int(p["rows"])
+            total_keys += int(p["n_keys"])
+            total_dropped += int(p.get("dropped", 0))
+            keys = pq.read_table(
+                _part_path(args.library, part), columns=["band_key"]
+            )["band_key"].to_numpy(zero_copy_only=False)
+            _, per_key = np.unique(keys, return_counts=True)
+            occ, n = np.unique(per_key, return_counts=True)
+            for o, c in zip(occ.tolist(), n.tolist()):
+                hist[o] = hist.get(o, 0) + c
+        print(f"== band library {args.library}: {total_rows} rows, "
+              f"{total_keys} keys, {len(meta['partitions'])}/"
+              f"{meta['num_partitions']} partitions, "
+              f"{total_dropped} rows dropped past cap ==")
+        n_buckets = sum(hist.values()) or 1
+        for occ in sorted(hist):
+            frac = hist[occ] / n_buckets
+            print(f"  occupancy {occ:>3}: {hist[occ]:>10} buckets ({frac:.4%})")
+        return 0
+
+    assert args.workdir, f"--workdir required for mode {args.mode}"
 
     import ray
 
@@ -91,40 +130,6 @@ def main(argv: list[str] | None = None) -> int:
     cfg = dataclasses.replace(
         PipelineConfig(), hot_policy=args.hot_policy, census_mode=args.census_mode
     )
-
-    if args.mode == "library-stats":
-        # the A3 occupancy report over a persisted library
-        # (/root/reference/main_map.cpp:1167-1197's analog, offline)
-        import numpy as np
-        import pyarrow.parquet as pq
-
-        from consult_ray.state.library import read_library_meta
-
-        assert args.library, "--library required for library-stats"
-        meta = read_library_meta(args.library)
-        hist: dict[int, int] = {}
-        total_rows = total_keys = total_dropped = 0
-        for p in meta["partitions"]:
-            part = int(p["part"])
-            total_rows += int(p["rows"])
-            total_keys += int(p["n_keys"])
-            total_dropped += int(p.get("dropped", 0))
-            f = os.path.join(args.library, f"part-{part:05d}.parquet")
-            keys = pq.read_table(f, columns=["band_key"])["band_key"].to_numpy(
-                zero_copy_only=False)
-            _, per_key = np.unique(keys, return_counts=True)
-            occ, n = np.unique(per_key, return_counts=True)
-            for o, c in zip(occ.tolist(), n.tolist()):
-                hist[o] = hist.get(o, 0) + c
-        print(f"== band library {args.library}: {total_rows} rows, "
-              f"{total_keys} keys, {len(meta['partitions'])}/"
-              f"{meta['num_partitions']} partitions, "
-              f"{total_dropped} rows dropped past cap ==")
-        n_buckets = sum(hist.values()) or 1
-        for occ in sorted(hist):
-            frac = hist[occ] / n_buckets
-            print(f"  occupancy {occ:>3}: {hist[occ]:>10} buckets ({frac:.4%})")
-        return 0
 
     assert args.input, f"--input required for mode {args.mode}"
     content_col = args.html_col or args.text_col

@@ -145,12 +145,21 @@ def connected_components_distributed(
     prev_sum = None
     start_round = 0
     if checkpoint_dir:
+        import re
+
         os.makedirs(checkpoint_dir, exist_ok=True)
-        done = sorted(
-            int(d.split("_")[-1]) for d in os.listdir(checkpoint_dir)
-            if d.startswith("cc_round_")
-            and os.path.exists(os.path.join(checkpoint_dir, d, "_SUCCESS"))
-        )
+        # strict name match: a crash between writing _SUCCESS and the
+        # rename leaves cc_round_<i>.tmp-<hex> dirs that DO contain
+        # _SUCCESS — they must not parse as completed rounds (and are
+        # swept here so they cannot accumulate)
+        done = []
+        for d in os.listdir(checkpoint_dir):
+            m = re.fullmatch(r"cc_round_(\d+)", d)
+            if m and os.path.exists(os.path.join(checkpoint_dir, d, "_SUCCESS")):
+                done.append(int(m.group(1)))
+            elif ".tmp-" in d:
+                shutil.rmtree(os.path.join(checkpoint_dir, d), ignore_errors=True)
+        done.sort()
         if done:
             last = done[-1]
             path = os.path.join(checkpoint_dir, f"cc_round_{last}")
@@ -174,8 +183,10 @@ def connected_components_distributed(
             tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
             labels.write_parquet(tmp)
             with open(os.path.join(tmp, "_meta.json"), "w") as f:
+                # cur is None for an empty label set (Ray's aggregate
+                # over an empty dataset) — keep it as JSON null
                 json.dump({"round": i, "label_sum_before": prev_sum,
-                           "label_sum": int(cur)}, f)
+                           "label_sum": int(cur) if cur is not None else None}, f)
             with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
                 f.write("")
             if os.path.exists(path):

@@ -294,6 +294,12 @@ def approx_distinct_count_by(
     def partial(batch: pa.Table) -> pa.Table:
         g = batch[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch[distinct_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(g):
+            return pa.table({
+                group_key: pa.array([], pa.int64()),
+                "reg": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            })
         idx, rho = hll_register_updates(v.view(np.uint64), p, seed)
         # per-batch pre-combine: max rho per (group, register). Lexsort,
         # not bit-packing — group values may be epoch timestamps whose
@@ -303,7 +309,7 @@ def approx_distinct_count_by(
         starts = np.flatnonzero(
             np.r_[True, (g_s[1:] != g_s[:-1]) | (i_s[1:] != i_s[:-1])]
         )
-        maxes = np.maximum.reduceat(r_s, starts) if len(starts) else r_s[:0]
+        maxes = np.maximum.reduceat(r_s, starts)
         return pa.table({
             group_key: pa.array(g_s[starts]),
             "reg": pa.array(i_s[starts]),

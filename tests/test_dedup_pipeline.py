@@ -384,3 +384,26 @@ def test_pipeline_handles_doc_ids_above_32_bits(ray_session):
     small = run(base_ids)
     big = run(base_ids + OFF)
     assert big == {k + OFF: v + OFF for k, v in small.items()}
+
+
+def test_cc_resume_survives_torn_tmp_round_dir(ray_session, tmp_path):
+    """A crash between writing _SUCCESS into a round's tmp dir and the
+    rename leaves cc_round_<i>.tmp-<hex>; the resume scan must ignore
+    and sweep it, not crash parsing the round number."""
+    import os
+
+    n = 200
+    edges = pa.table({
+        "a": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "b": pa.array(np.arange(1, n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(edges).repartition(4).materialize()
+    d = str(tmp_path / "cc")
+    r1 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
+    # simulate the torn write
+    torn = os.path.join(d, "cc_round_3.tmp-deadbeef")
+    os.makedirs(torn)
+    open(os.path.join(torn, "_SUCCESS"), "w").close()
+    r2 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
+    assert dict(zip(r1.node, r1.label)) == dict(zip(r2.node, r2.label))
+    assert not os.path.exists(torn), "torn tmp dir must be swept"

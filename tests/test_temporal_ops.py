@@ -109,7 +109,7 @@ def test_vectorized_labels_matches_unionfind():
     assert len(nodes) == 0 and len(labs) == 0
 
 
-def test_hll_approx_distinct_within_2pct(ray_session):
+def test_hll_approx_distinct_within_3pct(ray_session):
     """HyperLogLog daily distinct-user estimates must land within 3% of
     the exact counts at p=12 (sigma ~1.6%; the bound covers the max over
     ~30 daily draws) on the sf0.01 events table."""
