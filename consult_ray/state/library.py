@@ -508,7 +508,10 @@ def classify_queries_partitioned(
             pa.int64()
         ).to_numpy(zero_copy_only=False)
         md = np.where(md == _NO_MATCH, np.int64(-1), md)
-        keep = [f for f in batch.column_names if f not in ("match_count", "mdoc")]
+        keep = [
+            f for f in batch.column_names
+            if f not in ("match_count", "mdoc", "doc_id_r")
+        ]
         out = batch.select(keep)
         return (
             out.append_column("matched", pa.array(cnt >= c))
