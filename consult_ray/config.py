@@ -69,9 +69,10 @@ class PipelineConfig:
     # /root/reference/main_search.cpp:770-777: split reads on ambiguous
     # bases, shingle only tokens >= SL) ---
     # When on, the RAW text splits on blank-line boundaries before
-    # canonicalization+shingling, segments shorter than
-    # segment_min_chars (default shingle_k) produce no shingles, and no
-    # shingle ever spans a segment boundary. Docs whose every segment
+    # shingling, segments whose CANONICALIZED UTF-8 byte length is
+    # under segment_min_chars (default shingle_k — same byte unit as
+    # the shingle window) produce no shingles, and no shingle ever
+    # spans a segment boundary. Docs whose every segment
     # drops fall back to one whole-doc shingle (so they still dedup).
     # Off by default: the flagship pipeline shingles straight through.
     segment_split: bool = False

@@ -173,6 +173,12 @@ def connected_components_distributed(
 
     if labels is None:
         labels = _edge_nodes(edges).materialize()
+    if labels.count() == 0:
+        # empty edge set: no nodes, nothing to propagate. Without this
+        # the Sum witness stays None every round (None == None is never
+        # reached past the prev_sum guard) and the loop would burn
+        # cc_max_iters rounds writing empty checkpoints.
+        return labels
     edges = _contract_blocks(edges.select_columns(["a", "b"])).materialize()
     for i in range(start_round, cfg.cc_max_iters):
         labels = _propagate_round(edges, labels, resolve_join_partitions(cfg)).materialize()

@@ -391,7 +391,7 @@ def q_lookup_classify_lib(sf_dir: str):
     by band-key range, and the probe side loads only the partition that
     owns each key range — no full-table broadcast. Must produce the
     same classifications as `lookup_classify` (pytest-asserted)."""
-    import hashlib
+    import tempfile
 
     from consult_ray.state.library import (
         classify_queries_partitioned,
@@ -402,7 +402,9 @@ def q_lookup_classify_lib(sf_dir: str):
     n = docs.count()
     corpus = docs.filter(expr=f"doc_id < {n // 2}")
     queries_ds = docs.filter(expr=f"doc_id >= {n // 2}")
-    lib = f"/tmp/consult_ray_lib/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # per-run scratch path: a shared content-keyed location lets a
+    # concurrent invocation race the save's swap window
+    lib = tempfile.mkdtemp(prefix="consult_ray_lib_")
     save_band_library(corpus, CFG, lib, num_partitions=8)
     out = classify_queries_partitioned(queries_ds, lib, CFG)
     return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when the expansion recipe changes so cached corpora regenerate
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 
 def _salt_tokens(toks: list[str], salts: list[str]) -> str:
@@ -91,7 +91,10 @@ def expand_documents(sf_dir: str, expand: int, out_dir: str, num_files: int = 32
 
     all_df = pd.concat(frames, ignore_index=True)
     all_df = all_df.sort_values("doc_id", ignore_index=True)
-    tbl = pa.Table.from_pandas(all_df, preserve_index=False)
+    # strip the pandas-metadata dict from_pandas attaches: an unhashable
+    # schema defeats Ray's schema dedup and spams "Failed to hash the
+    # schemas" from every shuffle aggregator
+    tbl = pa.Table.from_pandas(all_df, preserve_index=False).replace_schema_metadata(None)
     step = (len(all_df) + num_files - 1) // num_files
     for f in range(num_files):
         chunk = tbl.slice(f * step, step)

@@ -43,12 +43,15 @@ def _utf8_concat_and_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _segment_column(
-    text: pa.Array, min_chars: int
+    text: pa.Array, min_bytes: int
 ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """M5 N-split analog (/root/reference/main_search.cpp:770-777): split
-    each RAW text on blank-line boundaries, keep segments >= min_chars
-    (the token >= SL rule). Returns (segments, seg_doc: doc index per
-    kept segment, fallback_idx: docs with NO surviving segment — the
+    each RAW text on blank-line boundaries, keep segments whose
+    CANONICALIZED UTF-8 byte length >= min_bytes (the token >= SL rule;
+    shingle_k is byte-based on canonical text, so the filter uses the
+    same unit — a kept segment can never shrink below k after
+    canonicalization). Returns (canonical segments, seg_doc: doc index
+    per kept segment, fallback_idx: docs with NO surviving segment — the
     caller hashes those as one whole-doc shingle so no window ever
     spans a boundary)."""
     import pyarrow.compute as pc
@@ -58,10 +61,13 @@ def _segment_column(
     flat = pc.list_flatten(segs)
     n_per = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
     seg_doc = np.repeat(np.arange(n, dtype=np.int64), n_per)
+    canon = canonicalize_column(flat)
+    if isinstance(canon, pa.ChunkedArray):
+        canon = canon.combine_chunks()
     keep = pc.greater_equal(
-        pc.utf8_length(flat), pa.scalar(min_chars)
+        pc.binary_length(canon), pa.scalar(min_bytes)
     ).to_numpy(zero_copy_only=False)
-    kept = flat.filter(pa.array(keep))
+    kept = canon.filter(pa.array(keep))
     if isinstance(kept, pa.ChunkedArray):
         kept = kept.combine_chunks()
     kept_doc = seg_doc[keep]
@@ -97,8 +103,9 @@ def fingerprint_batch(
             raw, cfg.segment_min_chars or cfg.shingle_k
         )
         if len(seg_arr):
-            seg_canon = canonicalize_column(seg_arr)
-            concat, offsets = _utf8_concat_and_offsets(seg_canon)
+            # segments come back already canonicalized (the min-length
+            # filter is applied on canonical byte length)
+            concat, offsets = _utf8_concat_and_offsets(seg_arr)
             h, seg_of = rolling_shingle_hashes(concat, offsets, cfg.shingle_k)
             doc_of = seg_doc[seg_of]
         else:

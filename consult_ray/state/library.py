@@ -15,13 +15,17 @@ module is its Ray recast:
     idempotent (tmp dir + rename), unlike the reference's mkdir refusal
     (main_map.cpp:361-372).
   * classify_queries_partitioned: query docs -> fingerprint -> band rows
-    -> the SAME part routing -> groupby(part).map_groups probe, where
-    each probe task loads ONLY its key-range partition of the library
-    (the parallel chunk load of main_search.cpp:523-658) through a
-    per-worker-process cache -> per-query-doc aggregate -> left join
-    back onto the queries. No task ever holds the full table, so the
-    library can exceed single-node RAM — the property the reference
-    needs 128 GB for (README.md:34).
+    -> map_batches probe with BATCH-LEVEL routing: each task splits its
+    own band rows by key-range partition id and probes each partition's
+    CSR through a byte-bounded per-worker-process LRU cache (the
+    parallel chunk load of main_search.cpp:523-658, loaded on demand)
+    -> per-doc partial aggregate inside the batch -> one small
+    groupby(doc_id) -> left join back onto the queries. No shuffle of
+    the band rows, probe parallelism equals input block count, no task
+    ever materializes a partition's query-side row set, and worker
+    memory is bounded by the cache budget — so the library can exceed
+    single-node RAM, the property the reference needs 128 GB for
+    (README.md:34).
 
 Per-row semantics are identical to state.lookup.BandLookupActor (the
 broadcast path): match_count counts band probes with >=1 hamming<=p
@@ -54,6 +58,9 @@ LIBRARY_FORMAT_VERSION = 1
 _META = "_meta.json"
 _SUCCESS = "_SUCCESS"
 _NO_MATCH = np.int64(np.iinfo(np.int64).max)  # Min-aggregate identity
+# novel-id sets at or below this broadcast via ray.put (80 MB of int64);
+# above it the band rows semi-join the id set distributedly instead
+_BROADCAST_ID_LIMIT = 5_000_000
 
 
 def _cfg_signature(cfg: PipelineConfig, kinds: tuple[str, ...]) -> dict:
@@ -317,23 +324,42 @@ def ingest_shard(
     ).materialize()
     n_new = new_docs.count()
     if n_new:
-        new_ids = np.sort(np.fromiter(
-            (r[id_col] for r in new_docs.select_columns([id_col]).take_all()),
-            dtype=np.int64, count=n_new,
-        ))
-        ref = ray.put(new_ids)
+        if n_new <= _BROADCAST_ID_LIMIT:
+            # small side: collect ids Arrow-natively (no per-row dicts),
+            # ray.put ONCE, filter band rows with a searchsorted
+            parts = [
+                b[id_col].to_numpy(zero_copy_only=False)
+                for b in new_docs.select_columns([id_col]).iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+            ref = ray.put(np.sort(np.concatenate(parts)))
 
-        def only_new(batch: pa.Table) -> pa.Table:
-            ids = ray.get(ref)
-            docs = batch["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ids, docs)
-            pos_c = np.clip(pos, 0, len(ids) - 1)
-            return batch.filter(pa.array(ids[pos_c] == docs))
+            def only_new(batch: pa.Table) -> pa.Table:
+                ids = ray.get(ref)
+                docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(ids, docs)
+                pos_c = np.clip(pos, 0, len(ids) - 1)
+                return batch.filter(pa.array(ids[pos_c] == docs))
 
-        append_band_rows(
-            bands.map_batches(only_new, batch_format="pyarrow"),
-            cfg, library_path, kinds=kinds,
-        )
+            novel_bands = bands.map_batches(only_new, batch_format="pyarrow")
+        else:
+            # large shard: distributed semi-join (novel ids are unique,
+            # so the inner hash join neither duplicates nor collects
+            # anything driver-side)
+            from consult_ray.util import resolve_join_partitions
+
+            novel_bands = bands.join(
+                new_docs.select_columns([id_col]),
+                "inner",
+                resolve_join_partitions(cfg),
+                on=("doc_id",),
+                right_on=(id_col,),
+                right_suffix="_new",
+            )
+            if id_col != "doc_id":
+                novel_bands = novel_bands.drop_columns([f"{id_col}_new"])
+        append_band_rows(novel_bands, cfg, library_path, kinds=kinds)
     return {
         "survivors": new_docs,
         "n_in": int(n_in),
@@ -379,9 +405,21 @@ def load_partition_csr(path: str, part: int) -> BandTableCSR:
 # includes the part file's (mtime_ns, size) identity so a library
 # rewritten in place (append_to_band_library, re-save) invalidates
 # stale entries — long-lived Ray workers otherwise serve the OLD CSR
-# and streaming ingest silently keeps duplicates.
-_PART_CACHE: dict[tuple, BandTableCSR] = {}
-_PART_CACHE_MAX = 8
+# and streaming ingest silently keeps duplicates. LRU bounded by BYTES
+# (not entry count): batch-routed probing touches every partition a
+# batch's keys span, so a worker may legitimately cache the whole
+# library when it fits, and must evict cleanly when it does not.
+from collections import OrderedDict
+
+_PART_CACHE: OrderedDict[tuple, BandTableCSR] = OrderedDict()
+_PART_CACHE_BYTES = 0
+_PART_CACHE_BUDGET = int(
+    os.environ.get("CONSULT_RAY_PART_CACHE_BYTES", 2 << 30)
+)
+
+
+def _csr_nbytes(csr: BandTableCSR) -> int:
+    return csr.keys.nbytes + csr.offs.nbytes + csr.docs.nbytes + csr.sims.nbytes
 
 
 def _part_file_version(path: str, part: int) -> tuple:
@@ -394,54 +432,131 @@ def _part_file_version(path: str, part: int) -> tuple:
 
 
 def _cached_partition(path: str, part: int) -> BandTableCSR:
+    global _PART_CACHE_BYTES
     key = (path, part, *_part_file_version(path, part))
     hit = _PART_CACHE.get(key)
     if hit is not None:
+        _PART_CACHE.move_to_end(key)
         return hit
     csr = load_partition_csr(path, part)
     # drop any stale versions of this partition, then bound the cache
     for k in [k for k in _PART_CACHE if k[:2] == (path, part)]:
-        _PART_CACHE.pop(k, None)
-    if len(_PART_CACHE) >= _PART_CACHE_MAX:
-        _PART_CACHE.pop(next(iter(_PART_CACHE)))
+        _PART_CACHE_BYTES -= _csr_nbytes(_PART_CACHE.pop(k))
     _PART_CACHE[key] = csr
+    _PART_CACHE_BYTES += _csr_nbytes(csr)
+    while _PART_CACHE_BYTES > _PART_CACHE_BUDGET and len(_PART_CACHE) > 1:
+        _, old = _PART_CACHE.popitem(last=False)
+        _PART_CACHE_BYTES -= _csr_nbytes(old)
     return csr
 
 
-def _probe_partition(
-    g: pa.Table, library_path: str, cfg: PipelineConfig
-) -> pa.Table:
-    """Probe one partition's query band rows against that partition's
-    CSR (loaded here, in the task that owns the key range — never
-    broadcast). Emits one row per query band row: (doc_id, hit, mdoc)."""
-    part = int(g["part"][0].as_py())
-    t = _cached_partition(library_path, part)
-    pkeys = g["band_key"].to_numpy(zero_copy_only=False)
-    pdocs = g["doc_id"].to_numpy(zero_copy_only=False)
-    psims = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-
-    hit = np.zeros(len(pkeys), dtype=np.int64)
+def _probe_against_csr(
+    t: BandTableCSR,
+    pkeys: np.ndarray,
+    pdocs: np.ndarray,
+    psims: np.ndarray,
+    cfg: PipelineConfig,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bucket scan (T5, /root/reference/main_search.cpp:831-874)
+    of probe rows against one CSR. Returns per probe row:
+    (hit: bool — >=1 hamming<=p neighbor, mdoc: int64 min matching doc,
+    _NO_MATCH when none)."""
+    hit = np.zeros(len(pkeys), dtype=bool)
     mdoc = np.full(len(pkeys), _NO_MATCH, dtype=np.int64)
-    if len(t.keys) and len(pkeys):
-        pos = np.searchsorted(t.keys, pkeys)
-        pos_c = np.clip(pos, 0, len(t.keys) - 1)
-        found = t.keys[pos_c] == pkeys
-        starts = t.offs[pos_c]
-        sizes = np.where(found, t.offs[pos_c + 1] - starts, 0)
-        cand_idx, keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
-        probe_of = np.repeat(np.arange(len(pkeys), dtype=np.int64), keep)
-        if len(cand_idx):
-            ham = popcount64(psims[probe_of] ^ t.sims[cand_idx])
-            ok = (ham <= cfg.hamming_budget) & (t.docs[cand_idx] != pdocs[probe_of])
-            if ok.any():
-                ok_probe = probe_of[ok]
-                ok_docs = t.docs[cand_idx][ok]
-                hit[np.unique(ok_probe)] = 1
-                np.minimum.at(mdoc, ok_probe, ok_docs)
+    if not len(t.keys) or not len(pkeys):
+        return hit, mdoc
+    pos = np.searchsorted(t.keys, pkeys)
+    pos_c = np.clip(pos, 0, len(t.keys) - 1)
+    found = t.keys[pos_c] == pkeys
+    starts = t.offs[pos_c]
+    sizes = np.where(found, t.offs[pos_c + 1] - starts, 0)
+    cand_idx, keep = _capped_gather_idx(starts, sizes, cfg.bucket_cap)
+    if not len(cand_idx):
+        return hit, mdoc
+    probe_of = np.repeat(np.arange(len(pkeys), dtype=np.int64), keep)
+    ham = popcount64(psims[probe_of] ^ t.sims[cand_idx])
+    ok = (ham <= cfg.hamming_budget) & (t.docs[cand_idx] != pdocs[probe_of])
+    if ok.any():
+        ok_probe = probe_of[ok]
+        hit[ok_probe] = True
+        np.minimum.at(mdoc, ok_probe, t.docs[cand_idx][ok])
+    return hit, mdoc
+
+
+def probe_band_rows_batch(
+    batch: pa.Table,
+    library_path: str,
+    cfg: PipelineConfig,
+    num_partitions: int,
+) -> pa.Table:
+    """Probe ONE query band-row batch against the library with NO
+    shuffle: split the batch's rows by key-range partition id, probe
+    each present partition's worker-cached CSR, then pre-aggregate per
+    query doc. This is the load shape of the reference's whole search
+    program (/root/reference/main_search.cpp:704-707: dynamic work items
+    over a shared read-only index) — probe parallelism equals input
+    block count (not num_partitions), and no task ever materializes a
+    partition's full query-side row set (the round-2 scale cap).
+
+    Worker memory is bounded by the CSR cache budget; a library larger
+    than the budget trades cache misses (partition re-reads) for the
+    all-to-all the routed-groupby plan would pay instead.
+
+    With cfg.probe_early_exit (O3, main_search.cpp:866-894): partitions
+    are visited in key-range order and a doc's remaining probe rows are
+    skipped once it holds collision_threshold matches. `matched` is
+    unchanged (skipping starts only at >= c); match_count/match_doc
+    reflect only the probes performed.
+
+    Output: one row per distinct query doc in the batch —
+    (doc_id, hit: partial match count, mdoc: partial min match doc)."""
+    pkeys = batch["band_key"].to_numpy(zero_copy_only=False)
+    pdocs = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(pkeys)
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "hit": pa.array([], pa.int64()),
+            "mdoc": pa.array([], pa.int64()),
+        })
+    psims = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    part = partition_of(pkeys, num_partitions)
+
+    hit = np.zeros(n, dtype=bool)
+    mdoc = np.full(n, _NO_MATCH, dtype=np.int64)
+
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    bounds = np.append(np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]]), n)
+
+    early = cfg.probe_early_exit
+    if early:
+        udocs = np.unique(pdocs)
+        counts = np.zeros(len(udocs), dtype=np.int64)
+        local = np.searchsorted(udocs, pdocs)
+
+    for i in range(len(bounds) - 1):
+        sel = order[bounds[i] : bounds[i + 1]]
+        if early:
+            sel = sel[counts[local[sel]] < cfg.collision_threshold]
+            if not len(sel):
+                continue
+        t = _cached_partition(library_path, int(sp[bounds[i]]))
+        h, m = _probe_against_csr(t, pkeys[sel], pdocs[sel], psims[sel], cfg)
+        hit[sel] = h
+        mdoc[sel] = m
+        if early and h.any():
+            np.add.at(counts, local[sel[h]], 1)
+
+    # per-doc partial aggregate: the groupby("doc_id") shuffle then moves
+    # one row per doc per batch instead of one per band row
+    o2 = np.argsort(pdocs, kind="stable")
+    d = pdocs[o2]
+    st = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
     return pa.table({
-        "doc_id": pa.array(pdocs),
-        "hit": pa.array(hit),
-        "mdoc": pa.array(mdoc),
+        "doc_id": pa.array(d[st]),
+        "hit": pa.array(np.add.reduceat(hit[o2].astype(np.int64), st)),
+        "mdoc": pa.array(np.minimum.reduceat(mdoc[o2], st)),
     })
 
 
@@ -469,19 +584,13 @@ def classify_queries_partitioned(
         fp = fingerprints(queries, cfg, text_col=text_col, id_col=id_col)
         bands = band_rows(fp, cfg, kinds=kinds)
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch["band_key"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array(partition_of(keys, num_partitions))
-        )
-
-    probes = (
-        bands.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: _probe_partition(g, library_path, cfg),
-            batch_format="pyarrow",
-        )
+    # batch-level routing, NO all-to-all: each map task splits its own
+    # band rows by key-range partition and probes the worker-cached CSRs
+    # (probe parallelism = block count; see probe_band_rows_batch)
+    probes = bands.map_batches(
+        lambda b: probe_band_rows_batch(b, library_path, cfg, num_partitions),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     agg = probes.groupby("doc_id").aggregate(
         Sum("hit", alias_name="match_count"), Min("mdoc", alias_name="mdoc")

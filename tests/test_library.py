@@ -114,6 +114,44 @@ def test_probe_early_exit_preserves_matched(corpus_and_queries):
     assert full.matched.any()
 
 
+def test_partitioned_early_exit_preserves_matched(corpus_and_queries,
+                                                  tmp_path_factory):
+    """O3 on the PARTITIONED path (round-2 gap): early exit must leave
+    `matched` identical to the full partitioned scan, and match_doc must
+    be a real matching doc wherever matched."""
+    corpus_tbl, query_tbl = corpus_and_queries
+    lib = str(tmp_path_factory.mktemp("libee") / "band_tables")
+    save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=8)
+    full = classify_queries_partitioned(
+        rd.from_arrow(query_tbl), lib, CFG
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    cfg_ee = dataclasses.replace(CFG, probe_early_exit=True)
+    fast = classify_queries_partitioned(
+        rd.from_arrow(query_tbl), lib, cfg_ee
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(full.matched) == list(fast.matched)
+    assert (fast.match_count <= full.match_count).all()
+    m = fast.matched
+    assert (fast.match_doc[m] >= 0).all() and (fast.match_doc[~m] == -1).all()
+    assert full.matched.any()
+
+
+def test_partitioned_probe_has_no_all_to_all(corpus_and_queries,
+                                             tmp_path_factory):
+    """The probe stage must be batch-routed map_batches (parallelism =
+    block count), not a groupby(part).map_groups whose parallelism is
+    capped at num_partitions and whose groups materialize one
+    partition's whole query-side row set (round-2 scale-killer #3)."""
+    corpus_tbl, query_tbl = corpus_and_queries
+    lib = str(tmp_path_factory.mktemp("libplan") / "band_tables")
+    save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=8)
+    out = classify_queries_partitioned(
+        rd.from_arrow(query_tbl), lib, CFG
+    ).materialize()
+    stats = out.stats()
+    assert "MapGroups" not in stats, stats
+
+
 def test_append_equals_rebuild(corpus_and_queries, tmp_path_factory):
     """Appending docs B to a library built from A must yield partitions
     byte-identical to building from A ∪ B (min-doc_id cap is order-free),
