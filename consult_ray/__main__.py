@@ -135,6 +135,34 @@ def main(argv: list[str] | None = None) -> int:
     content_col = args.html_col or args.text_col
     docs = rd.read_parquet(args.input, columns=[args.id_col, content_col])
 
+    # string-keyed tables (--id-col url, the input_hint pages schema):
+    # assign deterministic content-hash int64 ids as stage zero, run the
+    # int64 engine on those, and persist the (id, key) mapping for the
+    # output round-trip (search-library carries the key column through
+    # its output rows natively)
+    import pyarrow as _pa
+
+    key_col = None
+    id_col = args.id_col
+    sch = docs.schema()  # ray Schema: parallel .names / .types lists
+    id_type = dict(zip(sch.names, sch.types))[args.id_col]
+    if args.mode in ("dedup", "build-library", "search-library") and not _pa.types.is_integer(
+        id_type
+    ):
+        from consult_ray.stages.ids import add_hashed_doc_ids
+
+        key_col, id_col = args.id_col, "__docid"
+        docs = add_hashed_doc_ids(docs, key_col=key_col, id_col=id_col)
+        if args.mode == "dedup":
+            os.makedirs(args.workdir, exist_ok=True)
+            mpath = os.path.join(args.workdir, "id_mapping")
+            if not os.path.exists(os.path.join(mpath, "_done")):
+                docs.select_columns([id_col, key_col]).write_parquet(mpath)
+                with open(os.path.join(mpath, "_done"), "w") as f:
+                    f.write("")
+            print(f"string id column {key_col!r}: hashed int64 ids assigned; "
+                  f"(id, {key_col}) mapping parquet at {mpath}")
+
     if args.mode != "dedup" and args.html_col:
         # library modes run the pinned extraction inline (the dedup mode
         # runs it as a checkpointed stage inside the pipeline)
@@ -142,12 +170,13 @@ def main(argv: list[str] | None = None) -> int:
 
         from consult_ray.functions.textnorm import extract_text_column
 
-        idc, tc, hc = args.id_col, args.text_col, args.html_col
+        idc, tc, hc, kc = id_col, args.text_col, args.html_col, key_col
 
         def _extract(b: "pa.Table") -> "pa.Table":
-            return pa.table(
-                {idc: b[idc], tc: extract_text_column(b[hc].combine_chunks())}
-            )
+            cols = {idc: b[idc], tc: extract_text_column(b[hc].combine_chunks())}
+            if kc:
+                cols[kc] = b[kc]
+            return pa.table(cols)
 
         docs = docs.map_batches(_extract, batch_format="pyarrow")
 
@@ -174,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         manifest = save_band_library(
             docs, cfg, args.library, num_partitions=args.library_partitions,
-            text_col=args.text_col, id_col=args.id_col,
+            text_col=args.text_col, id_col=id_col,
         )
         rows = sum(p["rows"] for p in manifest["partitions"])
         print(f"== built band library: {rows} rows in "
@@ -188,7 +217,7 @@ def main(argv: list[str] | None = None) -> int:
         assert args.library, "--library required for search-library"
         t0 = time.time()
         out = classify_queries_partitioned(
-            docs, args.library, cfg, text_col=args.text_col, id_col=args.id_col
+            docs, args.library, cfg, text_col=args.text_col, id_col=id_col
         ).materialize()
         matched = out.filter(expr="matched == True")
         unmatched = out.filter(expr="matched == False")
@@ -202,7 +231,7 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     pipe = CheckpointedDedupPipeline(
-        args.workdir, cfg, id_col=args.id_col, text_col=args.text_col,
+        args.workdir, cfg, id_col=id_col, text_col=args.text_col,
         html_col=args.html_col,
     )
     out = pipe.run(docs)

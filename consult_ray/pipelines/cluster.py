@@ -298,9 +298,12 @@ def resolve_labels(ids: np.ndarray, nodes: np.ndarray, labs: np.ndarray):
 def assign_clusters(
     docs: Dataset, labels: Dataset, cfg: PipelineConfig, id_col: str = "doc_id",
     mode: str = "auto",
+    keep_cols: tuple[str, ...] = (),
 ) -> Dataset:
-    """(doc_id, cluster_id): component label where present, own id for
-    singletons.
+    """(doc_id, [keep_cols...,] cluster_id): component label where
+    present, own id for singletons. keep_cols ride through unchanged
+    (e.g. the url key column for string-keyed tables — cheaper than a
+    post-hoc id->key join).
 
     mode "broadcast": labels ship once via ray.put as sorted arrays and
     every task resolves ids with a searchsorted — NO shuffle of the doc
@@ -311,6 +314,8 @@ def assign_clusters(
         labels = labels.materialize()
         mode = "broadcast" if labels.count() <= BROADCAST_LABEL_LIMIT else "join"
 
+    cols = [id_col, *keep_cols]
+
     if mode == "broadcast":
         import ray
 
@@ -320,17 +325,21 @@ def assign_clusters(
             ns, ls = ray.get(ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             _, lab = resolve_labels(ids, ns, ls)
-            return pa.table({id_col: batch[id_col], "cluster_id": pa.array(lab)})
+            out = {c: batch[c] for c in cols}
+            out["cluster_id"] = pa.array(lab)
+            return pa.table(out)
 
-        return docs.select_columns([id_col]).map_batches(lookup, batch_format="pyarrow")
+        return docs.select_columns(cols).map_batches(lookup, batch_format="pyarrow")
 
-    ids = docs.select_columns([id_col])
+    ids = docs.select_columns(cols)
     joined = ids.join(
         labels, "left_outer", resolve_join_partitions(cfg), on=(id_col,), right_on=("node",)
     )
 
     def coalesce(batch: pa.Table) -> pa.Table:
         lab = pc.coalesce(batch["label"].cast(pa.int64()), batch[id_col].cast(pa.int64()))
-        return pa.table({id_col: batch[id_col], "cluster_id": lab})
+        out = {c: batch[c] for c in cols}
+        out["cluster_id"] = lab
+        return pa.table(out)
 
     return joined.map_batches(coalesce, batch_format="pyarrow")

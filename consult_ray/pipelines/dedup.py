@@ -481,3 +481,72 @@ def dup_edges(
     edges = candidate_edges(bands, cfg)
     edges = pair_count_threshold(edges, cfg)
     return edges, stats
+
+
+def dedup_url_pages(
+    pages: Dataset,
+    cfg: PipelineConfig,
+    key_col: str = "url",
+    text_col: str = "text",
+    audit: bool = False,
+) -> tuple[Dataset, dict]:
+    """Flagship near-dup dedup over a STRING-KEYED pages table (the
+    BASELINE.json input_hint schema: url-keyed Common-Crawl-style rows;
+    the reference likewise keys records by their free-form id line,
+    /root/reference/main_search.cpp:761-766).
+
+    Stage one assigns each key a deterministic content-hash int64 id
+    (stages.ids) so the whole int64 engine — 40 B band rows, CC label
+    reduction — runs unchanged; the output round-trips ids back to keys.
+    Returns (clusters, stats): clusters has (key_col, cluster_<key_col>)
+    where cluster_<key_col> is the representative member's key (the
+    member whose id is the cluster label), plus the int64 doc_id and
+    cluster_id columns for downstream joins.
+
+    audit=True runs the distributed id-collision audit and raises on a
+    collision (a collision would silently merge two unrelated pages).
+    """
+    from consult_ray.pipelines.cluster import assign_clusters, connected_components
+    from consult_ray.stages.ids import add_hashed_doc_ids, audit_id_collisions
+
+    with_ids = add_hashed_doc_ids(pages, key_col=key_col).materialize()
+    stats: dict = {}
+    if audit:
+        n_bad = audit_id_collisions(with_ids, key_col=key_col)
+        stats["id_collisions"] = n_bad
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} hashed doc ids collide across distinct {key_col} "
+                "keys; rerun with a different stages.ids seed or assign "
+                "dense ids"
+            )
+    edges, estats = dup_edges(with_ids, cfg, text_col=text_col)
+    stats.update(estats)
+    labels = connected_components(edges, cfg)
+    clusters = assign_clusters(
+        with_ids, labels, cfg, keep_cols=(key_col,)
+    )  # (doc_id, key, cluster_id)
+
+    # id round-trip for the cluster label: the label is the min member
+    # id, so one narrow (id -> key) hash join recovers that member's key
+    mapping = with_ids.select_columns(["doc_id", key_col])
+    out = clusters.join(
+        mapping,
+        "inner",
+        resolve_join_partitions(cfg),
+        on=("cluster_id",),
+        right_on=("doc_id",),
+        right_suffix="_rep",
+    )
+
+    rep_col = f"{key_col}_rep" if key_col in clusters.columns() else key_col
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            f"cluster_{key_col}": batch[rep_col],
+            "doc_id": batch["doc_id"],
+            "cluster_id": batch["cluster_id"],
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow"), stats

@@ -465,6 +465,38 @@ def q_media_frames(sf_dir: str):
     return out.select_columns(["media_id", "frame_idx", "ts_ms"])
 
 
+def _pages_url_table(sf_dir: str):
+    """documents -> a url-keyed pages view (the BASELINE.json input_hint
+    shape), derived deterministically: url = https://<source>/doc/<id>."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def mk_url(batch: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * batch.num_rows),
+            batch["source"].cast(pa.string()),
+            pa.array(["/doc/"] * batch.num_rows),
+            pc.cast(batch["doc_id"], pa.string()),
+            "",
+        )
+        return pa.table({"url": url, "text": batch["text"]})
+
+    return docs.map_batches(mk_url, batch_format="pyarrow")
+
+
+def q_dedup_clusters_url(sf_dir: str):
+    """Flagship dedup over a URL-KEYED pages table (string keys, no
+    int64 ids in the input — the input_hint schema). Deterministic
+    url->int64 assignment, the unchanged int64 engine, then the id
+    round-trip back to urls. No SQL oracle (band keys are engine
+    hashes); pytest asserts cluster-partition equality with the
+    int64-keyed path and a zero-collision id audit."""
+    from consult_ray.pipelines.dedup import dedup_url_pages
+
+    pages = _pages_url_table(sf_dir)
+    clusters, _stats = dedup_url_pages(pages, CFG, audit=True)
+    return clusters.select_columns(["url", "cluster_url"])
+
+
 def q_minhash_edges(sf_dir: str):
     """MinHash-band-only near-dup edges (the classic b x r LSH path)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -516,6 +548,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     "minhash_edges": q_minhash_edges,
     "simhash_edges": q_simhash_edges,
+    "dedup_clusters_url": q_dedup_clusters_url,
     **EXTRA_QUERIES,
 }
 

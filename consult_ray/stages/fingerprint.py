@@ -86,7 +86,10 @@ def fingerprint_batch(
     """pyarrow batch -> fingerprints table.
 
     Output schema: doc_id:int64, simhash:int64 (bit-pattern of the uint64),
-    minhash:fixed_size_list<uint64, P>, n_shingles:int64.
+    minhash:fixed_size_list<uint64, P>, n_shingles:int64. The id column
+    is ALWAYS emitted as "doc_id" (the engine-internal canonical name)
+    whatever `id_col` names it in the input — every downstream stage
+    (band expansion, joins, CC) keys on "doc_id".
     Nulls in text are treated as empty strings (they still fingerprint,
     deterministically, and dedup together). With cfg.segment_split the
     doc splits on blank lines first and shingles never span a segment
@@ -133,8 +136,15 @@ def fingerprint_batch(
     sh = simhash_signatures(hashes, starts)
     n_shingles = np.diff(np.append(starts, len(hashes))).astype(np.int64)
 
+    if not pa.types.is_integer(batch.schema.field(id_col).type):
+        raise TypeError(
+            f"id column {id_col!r} has type {batch.schema.field(id_col).type}; "
+            "string/url-keyed tables must first pass through "
+            "consult_ray.stages.ids.add_hashed_doc_ids (deterministic "
+            "key->int64 assignment with collision audit)"
+        )
     cols = {
-        id_col: batch[id_col].cast(pa.int64()),
+        "doc_id": batch[id_col].cast(pa.int64()),
         "simhash": pa.array(sh.view(np.int64)),
         "minhash": pa.FixedSizeListArray.from_arrays(
             pa.array(mh.reshape(-1)), cfg.num_perm

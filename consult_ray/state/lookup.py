@@ -125,7 +125,8 @@ class BandLookupActor:
         bands = band_rows_batch(fp, cfg, kinds=self.kinds)
 
         n = batch.num_rows
-        ids = fp[self.id_col].to_numpy(zero_copy_only=False)
+        # fingerprint_batch canonicalizes the id column name to doc_id
+        ids = fp["doc_id"].to_numpy(zero_copy_only=False)
 
         pkeys = bands["band_key"].to_numpy(zero_copy_only=False)
         pdocs = bands["doc_id"].to_numpy(zero_copy_only=False)
