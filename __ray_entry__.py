@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+from consult_ray.util import read_parquet_clean
 
 
 def entry() -> Any:
@@ -28,8 +29,8 @@ def entry() -> Any:
     from consult_ray.pipelines.dedup import dup_edges
 
     cfg = PipelineConfig()
-    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
-                           columns=["doc_id", "text"])
+    docs = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                              columns=["doc_id", "text"])
     edges, _stats = dup_edges(docs, cfg)
     labels = connected_components(edges, cfg)
     return assign_clusters(docs, labels, cfg)

@@ -21,6 +21,7 @@ import os
 import subprocess
 import sys
 import time
+from consult_ray.util import read_parquet_clean
 
 
 def _effective_cores(n: int) -> float:
@@ -123,12 +124,12 @@ def _run_bench() -> None:
              f"{os.path.basename(sf_dir.rstrip('/'))}-x{expand}-v{CORPUS_VERSION}")
     pages_dir = expand_documents(sf_dir, expand, cache)
     # warm the OS page cache so we measure compute + shuffle, not cold reads
-    n_docs = rd.read_parquet(pages_dir, columns=["doc_id"]).count()
+    n_docs = read_parquet_clean(pages_dir, columns=["doc_id"]).count()
 
     timings: dict[str, float] = {}
 
     t0 = time.time()
-    docs = rd.read_parquet(pages_dir, columns=["doc_id", "text"])
+    docs = read_parquet_clean(pages_dir, columns=["doc_id", "text"])
     edges, _stats = dup_edges(docs, cfg)
     labels = connected_components(edges, cfg)
     clusters = assign_clusters(docs, labels, cfg)

@@ -32,6 +32,7 @@ import os
 import shutil
 import sys
 import time
+from consult_ray.util import read_parquet_clean
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -133,7 +134,7 @@ def main(argv: list[str] | None = None) -> int:
 
     assert args.input, f"--input required for mode {args.mode}"
     content_col = args.html_col or args.text_col
-    docs = rd.read_parquet(args.input, columns=[args.id_col, content_col])
+    docs = read_parquet_clean(args.input, columns=[args.id_col, content_col])
 
     # string-keyed tables (--id-col url, the input_hint pages schema):
     # assign deterministic content-hash int64 ids as stage zero, run the

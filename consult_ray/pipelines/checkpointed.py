@@ -4,8 +4,9 @@ lineage/metrics records.
 The reference has NO fault tolerance — any failure restarts the binary
 (SURVEY §4; the only guard is the refuse-to-overwrite mkdir at
 /root/reference/main_map.cpp:361-372). The north_rule requires the
-opposite: every stage boundary is a Parquet checkpoint directory written
-atomically (tmp dir + rename) with a _SUCCESS marker, a rerun skips
+opposite: every stage boundary is a Parquet checkpoint directory committed via
+the rename-free manifest protocol (state/fsio.py — works on object
+stores) with a _SUCCESS marker, a rerun skips
 completed stages, and every stage appends lineage rows
 (stage, rows_out, wall_s, ...) to <workdir>/lineage/.
 
@@ -22,11 +23,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 
 import pyarrow as pa
+import pyarrow.fs as pafs
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -35,43 +36,68 @@ from ray.data import Dataset
 from consult_ray.config import PipelineConfig
 from consult_ray.pipelines import cluster as cluster_mod
 from consult_ray.pipelines import dedup as dedup_mod
+from consult_ray.state import fsio
 
 _SUCCESS = "_SUCCESS"
+_MANIFEST = "_manifest.json"
 
 
 def _is_complete(path: str) -> bool:
-    return os.path.exists(os.path.join(path, _SUCCESS))
-
-
-def _mark_complete(path: str) -> None:
-    with open(os.path.join(path, _SUCCESS), "w") as f:
-        f.write(str(time.time()))
+    fs, root = fsio.resolve_fs(path)
+    return fsio.exists(fs, fsio.join(root, _SUCCESS)) and fsio.exists(
+        fs, fsio.join(root, _MANIFEST)
+    )
 
 
 def _write_checkpoint(ds: Dataset, path: str) -> tuple[int, list[dict]]:
-    """Atomic checkpoint: write to tmp dir, rename, mark. Returns
-    (total rows, per-partition records) — one record per output parquet
-    file (= one per block), the north_rule's per-partition lineage."""
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    ds.write_parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    """Rename-free checkpoint commit (manifest protocol, state/fsio.py):
+    the dataset writes straight into a generation-unique data dir, the
+    _manifest.json PUT names it (object-store-atomic commit point), and
+    the _SUCCESS marker lands last. A crash at any point leaves either
+    no marker (stage reruns into a fresh generation) or the previous
+    complete snapshot; superseded generations are GC'd best-effort.
+    Returns (total rows, per-partition records) — one record per output
+    parquet file (= one per block), the north_rule's per-partition
+    lineage."""
+    fs, root = fsio.resolve_fs(path)
+    fsio.mkdirs(fs, root)
+    gen = f"data-{uuid.uuid4().hex[:8]}"
+    data_dir = fsio.join(root, gen)
+    ds.write_parquet(data_dir, filesystem=fs)
     parts = []
-    for f in sorted(os.listdir(path)):
+    for f in fsio.list_files(fs, data_dir):
         if not f.endswith(".parquet"):
             continue
-        fp = os.path.join(path, f)
-        md = pq.ParquetFile(fp).metadata
+        fp = fsio.join(data_dir, f)
+        md = pq.ParquetFile(fs.open_input_file(fp)).metadata
         parts.append({
             "file": f,
             "rows": int(md.num_rows),
-            "bytes": int(os.path.getsize(fp)),
+            "bytes": int(fs.get_file_info(fp).size),
         })
-    _mark_complete(path)
+    fsio.write_json(fs, fsio.join(root, _MANIFEST), {"data": gen, "files": parts})
+    fsio.write_marker(fs, fsio.join(root, _SUCCESS), str(time.time()))
+    # GC superseded generations (crashed or replaced writes)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(root, recursive=False))
+        for i in infos:
+            base = os.path.basename(i.path)
+            if (
+                i.type == pafs.FileType.Directory
+                and base.startswith("data-")
+                and base != gen
+            ):
+                fs.delete_dir(i.path)
+    except Exception:
+        pass
     return sum(p["rows"] for p in parts), parts
+
+
+def _read_checkpoint(path: str) -> Dataset:
+    """Open the committed snapshot via its manifest."""
+    fs, root = fsio.resolve_fs(path)
+    meta = fsio.read_json(fs, fsio.join(root, _MANIFEST))
+    return rd.read_parquet(fsio.join(root, meta["data"]), filesystem=fs)
 
 
 class CheckpointedDedupPipeline:
@@ -151,7 +177,7 @@ class CheckpointedDedupPipeline:
         path = self._ckpt(stage)
         if _is_complete(path):
             self._lineage(stage, -1, 0.0, skipped=True)
-            return rd.read_parquet(path)
+            return _read_checkpoint(path)
         t0 = time.time()
         ds, extra = build_fn()
         rows, parts = _write_checkpoint(ds, path)
@@ -162,7 +188,7 @@ class CheckpointedDedupPipeline:
         with open(pfile, "w") as f:
             for i, p in enumerate(parts):
                 f.write(json.dumps({"stage": stage, "partition_id": i, **p}) + "\n")
-        return rd.read_parquet(path)
+        return _read_checkpoint(path)
 
     def run(self, docs: Dataset) -> dict[str, Dataset]:
         cfg = self.cfg

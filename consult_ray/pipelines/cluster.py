@@ -128,44 +128,65 @@ def connected_components_distributed(
     """(a, b) edges -> (node, label) via per-block contraction + global
     min-label propagation.
 
-    checkpoint_dir: when set, every propagation round writes its labels
-    to <dir>/cc_round_<i>/ (atomic tmp+rename with _SUCCESS and the
-    convergence witness in _meta.json), and a re-run RESUMES from the
-    last complete round — the per-iteration checkpointing of SURVEY §7
-    step 5. Rounds are idempotent (labels only decrease, min-label is
-    monotone), so resuming mid-convergence is value-identical."""
-    import json
-    import os
-    import shutil
+    checkpoint_dir: when set, every propagation round commits its labels
+    via the rename-free manifest protocol (state/fsio.py): labels land
+    in a generation-unique <dir>/cc_round_<i>-<gen>/ data dir and the
+    single-object <dir>/cc_round_<i>.json PUT (holding the data-dir name
+    and the convergence witness) is the commit point — object-store
+    safe. A re-run RESUMES from the last committed round — the
+    per-iteration checkpointing of SURVEY §7 step 5. Rounds are
+    idempotent (labels only decrease, min-label is monotone), so
+    resuming mid-convergence is value-identical. Data dirs not named by
+    any round manifest (crashed writes) are swept at scan time.
+    """
     import uuid
 
+    import pyarrow.fs as pafs
+
     import ray.data as rd
+
+    from consult_ray.state import fsio
 
     labels = None
     prev_sum = None
     start_round = 0
+    fs = ckroot = None
     if checkpoint_dir:
+        import posixpath
         import re
 
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        # strict name match: a crash between writing _SUCCESS and the
-        # rename leaves cc_round_<i>.tmp-<hex> dirs that DO contain
-        # _SUCCESS — they must not parse as completed rounds (and are
-        # swept here so they cannot accumulate)
+        fs, ckroot = fsio.resolve_fs(checkpoint_dir)
+        fsio.mkdirs(fs, ckroot)
         done = []
-        for d in os.listdir(checkpoint_dir):
-            m = re.fullmatch(r"cc_round_(\d+)", d)
-            if m and os.path.exists(os.path.join(checkpoint_dir, d, "_SUCCESS")):
+        referenced = set()
+        for f in fsio.list_files(fs, ckroot):
+            m = re.fullmatch(r"cc_round_(\d+)\.json", f)
+            if m:
                 done.append(int(m.group(1)))
-            elif ".tmp-" in d:
-                shutil.rmtree(os.path.join(checkpoint_dir, d), ignore_errors=True)
+                referenced.add(
+                    fsio.read_json(fs, fsio.join(ckroot, f))["data"]
+                )
+        # sweep data dirs no manifest names (crashed/superseded writes)
+        try:
+            for i in fs.get_file_info(pafs.FileSelector(ckroot, recursive=False)):
+                base = posixpath.basename(i.path)
+                if (
+                    i.type == pafs.FileType.Directory
+                    and base.startswith("cc_round_")
+                    and base not in referenced
+                ):
+                    fs.delete_dir(i.path)
+        except Exception:
+            pass
         done.sort()
         if done:
             last = done[-1]
-            path = os.path.join(checkpoint_dir, f"cc_round_{last}")
-            labels = rd.read_parquet(path)
-            with open(os.path.join(path, "_meta.json")) as f:
-                meta = json.load(f)
+            meta = fsio.read_json(
+                fs, fsio.join(ckroot, f"cc_round_{last}.json")
+            )
+            labels = rd.read_parquet(
+                fsio.join(ckroot, meta["data"]), filesystem=fs
+            )
             # the next round compares against the sum AFTER the resumed
             # round (the loop's prev_sum = cur assignment)
             prev_sum = meta["label_sum"]
@@ -185,19 +206,17 @@ def connected_components_distributed(
         row = labels.aggregate(Sum("label", alias_name="s"))
         cur = row["s"] if isinstance(row, dict) else row
         if checkpoint_dir:
-            path = os.path.join(checkpoint_dir, f"cc_round_{i}")
-            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-            labels.write_parquet(tmp)
-            with open(os.path.join(tmp, "_meta.json"), "w") as f:
-                # cur is None for an empty label set (Ray's aggregate
-                # over an empty dataset) — keep it as JSON null
-                json.dump({"round": i, "label_sum_before": prev_sum,
-                           "label_sum": int(cur) if cur is not None else None}, f)
-            with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-                f.write("")
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.rename(tmp, path)
+            gen = f"cc_round_{i}-{uuid.uuid4().hex[:8]}"
+            labels.write_parquet(fsio.join(ckroot, gen), filesystem=fs)
+            # commit point: one single-object PUT naming the data dir;
+            # cur is None for an empty label set (Ray's aggregate over
+            # an empty dataset) — keep it as JSON null
+            fsio.write_json(fs, fsio.join(ckroot, f"cc_round_{i}.json"), {
+                "round": i,
+                "data": gen,
+                "label_sum_before": prev_sum,
+                "label_sum": int(cur) if cur is not None else None,
+            })
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur

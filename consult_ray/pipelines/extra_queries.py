@@ -13,13 +13,14 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from consult_ray.config import PipelineConfig
+from consult_ray.util import read_parquet_clean
 from consult_ray.util import resolve_join_partitions
 
 CFG = PipelineConfig()
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # --- sorts / limits / top-k (O1-O3 analogs) --------------------------

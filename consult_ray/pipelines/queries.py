@@ -21,6 +21,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from consult_ray.config import PipelineConfig
+from consult_ray.util import read_parquet_clean
 from consult_ray.pipelines import operators as ops
 from consult_ray.pipelines.cluster import assign_clusters, connected_components
 from consult_ray.pipelines.dedup import dup_edges, fingerprints
@@ -36,7 +37,7 @@ CFG = PipelineConfig()
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round_col(tbl: pa.Table, col: str, nd: int) -> pa.Table:
@@ -91,7 +92,7 @@ def q_source_stats(sf_dir: str):
 
 def q_filter_en_long(sf_dir: str):
     """Predicate pushdown read + projection (S1/S4 analog: prune at read)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "n_chars"],
         filter=(pc.field("lang") == "en") & (pc.field("n_chars") >= 200),
@@ -196,7 +197,7 @@ def q_customers_without_orders(sf_dir: str):
     no high-value order. The o_totalprice filter is pushed into the
     parquet read."""
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=pc.field("o_totalprice") > 150000,

@@ -17,8 +17,38 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from consult_ray.functions.hashing import splitmix64
+from consult_ray.functions.textnorm import binary_view
+
+
+def _payload_view(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(bytes view, offsets, per-row lengths) for a binary column, with
+    null rows forced to length 0 (the scalar kernels treated null as
+    b''). Zero-copy from the Arrow buffers."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf, offsets = binary_view(col)
+    lens = np.diff(offsets)
+    if col.null_count:
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        lens = np.where(valid, lens, 0)
+    return buf, offsets, lens
+
+
+def _strided_gather(
+    buf: np.ndarray, starts: np.ndarray, steps: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather counts[i] bytes from buf at starts[i] + k*steps[i] for
+    every row at once (the vectorized form of `p[::step][:count]`).
+    Returns (flat bytes, row ids of each gathered byte)."""
+    n = len(starts)
+    total = int(counts.sum())
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    cstart = np.concatenate(([0], np.cumsum(counts)))
+    intra = np.arange(total, dtype=np.int64) - cstart[row_ids]
+    return buf[starts[row_ids] + intra * steps[row_ids]], row_ids
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -54,18 +84,22 @@ class DeterministicFakeDecoder:
         self.seeds = splitmix64(np.arange(dim, dtype=np.uint64) + np.uint64(seed))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        feats = np.empty((len(payloads), self.dim), dtype=np.float32)
-        for i, p in enumerate(payloads):
-            p = p or b""
-            h = np.uint64(len(p))
-            # sample up to 64 bytes deterministically for the content hash
-            step = max(1, len(p) // 64)
-            sample = np.frombuffer(p[:: step][:64], dtype=np.uint8).astype(np.uint64)
-            base = splitmix64(sample.sum() + h) if len(sample) else splitmix64(h)
-            feats[i] = (
-                splitmix64(self.seeds ^ base).astype(np.float64) / 2**64
-            ).astype(np.float32)
+        # vectorized over the batch's concatenated payload buffer: one
+        # strided gather samples <=64 bytes per row, one bincount sums
+        # them, one (n, dim) splitmix cascade emits all features —
+        # value-identical to the per-row form (pytest contract)
+        buf, offsets, lens = _payload_view(batch["payload"])
+        n = len(lens)
+        steps = np.maximum(1, lens // 64)
+        counts = np.minimum(64, -(-lens // steps))
+        sample, row_ids = _strided_gather(buf, offsets[:-1], steps, counts)
+        # byte sums are <= 64*255, exact in the float64 bincount weights
+        sums = np.bincount(row_ids, weights=sample.astype(np.int64), minlength=n)
+        base = splitmix64(sums.astype(np.uint64) + lens.astype(np.uint64))
+        feats = (
+            splitmix64(self.seeds[None, :] ^ base[:, None]).astype(np.float64)
+            / 2**64
+        ).astype(np.float32)
         return batch.append_column(
             "features", pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1)), self.dim)
         )
@@ -101,25 +135,32 @@ class DeterministicFakeResizer:
         self.w, self.h = width, height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch["kind"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        # one strided gather builds every output payload at once:
+        # image rows subsample to the target size, other rows identity-
+        # copy (step 1, count = len) — no per-row Python
+        buf, offsets, lens = _payload_view(batch["payload"])
+        n = len(lens)
+        is_img = np.asarray(
+            pc.fill_null(pc.equal(batch["kind"], "image"), False).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        )
         target = self.w * self.h // 256 + 16  # fake encoded size
-        out_payload, out_w, out_h = [], [], []
-        for k, p in zip(kinds, payloads):
-            p = p or b""
-            if k == "image" and len(p):
-                step = max(1, len(p) // target)
-                out_payload.append(p[::step][:target])
-                out_w.append(self.w)
-                out_h.append(self.h)
-            else:
-                out_payload.append(p)
-                out_w.append(-1 if k != "image" else self.w)
-                out_h.append(-1 if k != "image" else self.h)
+        resize = is_img & (lens > 0)
+        steps = np.where(resize, np.maximum(1, lens // target), 1)
+        counts = np.where(resize, np.minimum(target, -(-lens // steps)), lens)
+        out_buf, _ = _strided_gather(buf, offsets[:-1], steps, counts)
+        out_offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        payload = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(out_offsets), pa.py_buffer(np.ascontiguousarray(out_buf))],
+        )
         cols = {name: batch[name] for name in batch.column_names}
-        cols["payload"] = pa.array(out_payload, pa.large_binary())
-        cols["width"] = pa.array(np.asarray(out_w, dtype=np.int32))
-        cols["height"] = pa.array(np.asarray(out_h, dtype=np.int32))
+        cols["payload"] = payload
+        cols["width"] = pa.array(np.where(is_img, self.w, -1).astype(np.int32))
+        cols["height"] = pa.array(np.where(is_img, self.h, -1).astype(np.int32))
         return pa.table(cols)
 
 
@@ -133,28 +174,45 @@ class DeterministicFrameSampler:
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch["kind"].to_pylist()
-        payloads = batch["payload"].to_pylist()
-        ids = batch["media_id"].to_pylist()
-        durs = batch["duration_ms"].to_pylist()
-        out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
-        for mid, k, p, dur in zip(ids, kinds, payloads, durs):
-            if k != "video":
-                continue
-            p = p or b""
-            dur = max(0, dur or 0)
-            for j in range(self.n_frames):
-                lo = len(p) * j // self.n_frames
-                hi = len(p) * (j + 1) // self.n_frames
-                out["media_id"].append(mid)
-                out["frame_idx"].append(j)
-                out["ts_ms"].append(dur * j // max(1, self.n_frames))
-                out["frame"].append(p[lo:hi])
+        # a video's n_frames slices tile its payload exactly, so the
+        # output frame column REUSES the filtered payload buffer
+        # zero-copy — only the (nv*F+1) offsets are computed, as one
+        # broadcasted integer expression
+        F = self.n_frames
+        vid = batch.filter(pc.equal(batch["kind"], "video"))
+        nv = vid.num_rows
+        buf, offsets, lens = _payload_view(vid["payload"])
+        if lens.size and (lens != np.diff(offsets)).any():
+            # a null row with a nonzero buffer extent breaks the tiling
+            # assumption; compact to a fresh buffer (identity gather)
+            buf, _ = _strided_gather(
+                buf, offsets[:-1], np.ones(nv, np.int64), lens
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        j = np.arange(F, dtype=np.int64)
+        frame_offs = offsets[:-1, None] + (lens[:, None] * j[None, :]) // F
+        flat_offsets = np.concatenate(
+            (frame_offs.reshape(-1), offsets[-1:])
+        ).astype(np.int64)
+        frames = pa.Array.from_buffers(
+            pa.large_binary(),
+            nv * F,
+            [None, pa.py_buffer(np.ascontiguousarray(flat_offsets)), pa.py_buffer(buf)],
+        )
+        durs = np.maximum(
+            pc.fill_null(vid["duration_ms"], 0).to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        ts = ((durs[:, None] * j[None, :]) // max(1, F)).reshape(-1)
         return pa.table({
-            "media_id": pa.array(out["media_id"], pa.int64()),
-            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
-            "ts_ms": pa.array(out["ts_ms"], pa.int32()),
-            "frame": pa.array(out["frame"], pa.large_binary()),
+            "media_id": pa.array(
+                np.repeat(
+                    vid["media_id"].to_numpy(zero_copy_only=False), F
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+            "frame_idx": pa.array(np.tile(j, nv).astype(np.int32)),
+            "ts_ms": pa.array(ts.astype(np.int32)),
+            "frame": frames,
         })
 
 

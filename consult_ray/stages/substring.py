@@ -17,7 +17,6 @@ Two modes:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -30,17 +29,22 @@ from consult_ray.functions.suffix import contained_docs
 GROUP_TEXT_BUDGET = 8 << 20
 
 
-def _drop_contained(df: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
+def _drop_contained(tbl: pa.Table, text_col: str, id_col: str) -> pa.Table:
     """Within one cluster: mark docs contained in another doc. Exact
     duplicates keep the MIN doc_id (deterministic representative).
-    Adds bool column `substring_dropped`."""
-    n = len(df)
+    Adds bool column `substring_dropped`. Arrow in/out — the only
+    Python-object materialization is the group's texts, which the
+    suffix-array kernel needs as bytes anyway."""
+    n = tbl.num_rows
     if n < 2:
-        df = df.copy()
-        df["substring_dropped"] = False
-        return df
-    df = df.sort_values(id_col).reset_index(drop=True)
-    texts = [t.encode() if isinstance(t, str) else (t or b"") for t in df[text_col]]
+        return tbl.append_column(
+            "substring_dropped", pa.array(np.zeros(n, dtype=bool))
+        )
+    tbl = tbl.sort_by(id_col)
+    texts = [
+        t.encode() if isinstance(t, str) else (t or b"")
+        for t in tbl[text_col].to_pylist()
+    ]
     total = sum(len(t) for t in texts)
     dropped = np.zeros(n, dtype=bool)
     if total <= GROUP_TEXT_BUDGET:
@@ -64,9 +68,7 @@ def _drop_contained(df: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFram
                 dropped[i] = True
             else:
                 seen[t] = i
-    out = df.copy()
-    out["substring_dropped"] = dropped
-    return out
+    return tbl.append_column("substring_dropped", pa.array(dropped))
 
 
 def substring_dedup_in_clusters(
@@ -78,11 +80,11 @@ def substring_dedup_in_clusters(
     """Input: docs with a cluster_id column. Output: same + bool
     substring_dropped. Survivors = rows where ~substring_dropped."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def per_group(g: pa.Table) -> pa.Table:
         return _drop_contained(g, text_col, id_col)
 
     return clustered_docs.groupby("cluster_id").map_groups(
-        per_group, batch_format="pandas"
+        per_group, batch_format="pyarrow"
     )
 
 

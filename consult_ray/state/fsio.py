@@ -1,0 +1,89 @@
+"""Pluggable filesystem layer (pyarrow.fs) + the rename-free commit
+protocol shared by the band library and the pipeline checkpoints.
+
+The reference's library is plain files owned by one node
+(/root/reference/main_map.cpp:859-1132). Multi-node durable state here
+must also work on object stores (S3/GCS), which have NO atomic rename
+and NO reliable mtime: correctness therefore comes from a MANIFEST
+commit, not directory swaps —
+
+  1. writers write immutable data files under generation-unique names
+     (`part-00003-<gen>.parquet`): never overwritten, so readers can
+     cache by name alone;
+  2. the manifest (`_meta.json` / `_manifest.json`) names the exact
+     files of the current snapshot and is written LAST as one
+     single-object PUT — the commit point (object-store PUTs are
+     atomic: a reader sees the old snapshot or the new one, never a
+     torn mix);
+  3. files retired by the previous commit are kept for one generation
+     (readers holding the prior manifest stay valid), older orphans
+     are garbage-collected best-effort on the next commit.
+
+Every path goes through `resolve_fs`, so tests inject
+pa.fs.LocalFileSystem via plain paths and production points the same
+code at `s3://...` URIs.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+import pyarrow.fs as pafs
+
+
+def resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
+    """(filesystem, fs-local path) for a plain path or a URI."""
+    if "://" in str(path):
+        fs, p = pafs.FileSystem.from_uri(str(path))
+        return fs, p
+    return pafs.LocalFileSystem(), str(path)
+
+
+def join(base: str, *parts: str) -> str:
+    # fs-local paths are always /-separated (LocalFileSystem on posix,
+    # and every object store)
+    return posixpath.join(base, *parts)
+
+
+def exists(fs: pafs.FileSystem, path: str) -> bool:
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def mkdirs(fs: pafs.FileSystem, path: str) -> None:
+    fs.create_dir(path, recursive=True)
+
+
+def write_json(fs: pafs.FileSystem, path: str, obj) -> None:
+    """Single-object write — the commit-point primitive."""
+    with fs.open_output_stream(path) as f:
+        f.write(json.dumps(obj).encode())
+
+
+def read_json(fs: pafs.FileSystem, path: str):
+    with fs.open_input_stream(path) as f:
+        return json.loads(f.read().decode())
+
+
+def write_marker(fs: pafs.FileSystem, path: str, body: str = "") -> None:
+    with fs.open_output_stream(path) as f:
+        f.write(body.encode())
+
+
+def list_files(fs: pafs.FileSystem, dirpath: str) -> list[str]:
+    """Base names of plain files directly under dirpath ([] if absent)."""
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(dirpath, recursive=False))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        posixpath.basename(i.path) for i in infos if i.type == pafs.FileType.File
+    )
+
+
+def delete_files_best_effort(fs: pafs.FileSystem, paths: list[str]) -> None:
+    for p in paths:
+        try:
+            fs.delete_file(p)
+        except Exception:
+            pass  # GC is advisory; the manifest alone defines the snapshot

@@ -11,9 +11,9 @@ module is its Ray recast:
   * save_band_library: corpus -> band rows -> ONE groupby(part) shuffle
     (part = top bits of the band_key, the tag analog — a key range) ->
     per-partition cap + doc-major sort + parquet write from the workers,
-    plus a _meta.json pinning the signature config. Overwrite is
-    idempotent (tmp dir + rename), unlike the reference's mkdir refusal
-    (main_map.cpp:361-372).
+    plus a _meta.json pinning the signature config. Durability is a
+    rename-free manifest commit (state/fsio.py) that works on object
+    stores, unlike the reference's mkdir refusal (main_map.cpp:361-372).
   * classify_queries_partitioned: query docs -> fingerprint -> band rows
     -> map_batches probe with BATCH-LEVEL routing: each task splits its
     own band rows by key-range partition id and probes each partition's
@@ -36,9 +36,7 @@ bitwise-equal outputs of the two paths.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import uuid
 
 import numpy as np
@@ -51,10 +49,11 @@ from ray.data.aggregate import Min, Sum
 
 from consult_ray.config import PipelineConfig
 from consult_ray.functions.hashing import popcount64
+from consult_ray.state import fsio
 from consult_ray.state.lookup import _capped_gather_idx, BandTableCSR
 from consult_ray.util import resolve_join_partitions
 
-LIBRARY_FORMAT_VERSION = 1
+LIBRARY_FORMAT_VERSION = 2
 _META = "_meta.json"
 _SUCCESS = "_SUCCESS"
 _NO_MATCH = np.int64(np.iinfo(np.int64).max)  # Min-aggregate identity
@@ -90,8 +89,39 @@ def partition_of(band_keys: np.ndarray, num_partitions: int) -> np.ndarray:
     return (band_keys.view(np.uint64) >> np.uint64(64 - bits)).astype(np.int64)
 
 
-def _part_path(path: str, part: int) -> str:
-    return os.path.join(path, f"part-{part:05d}.parquet")
+def _part_name(part: int, gen: str) -> str:
+    return f"part-{part:05d}-{gen}.parquet"
+
+
+def _manifest_files(meta: dict) -> dict[int, str]:
+    """part -> data-file name from a manifest (v1 libraries carried no
+    file field; fall back to their fixed naming)."""
+    return {
+        int(p["part"]): p.get("file", f"part-{int(p['part']):05d}.parquet")
+        for p in meta["partitions"]
+    }
+
+
+def _commit_manifest(
+    fs, root: str, meta: dict, retired: list[str]
+) -> dict:
+    """The rename-free commit (see state/fsio.py): data files are
+    already in place under generation-unique names; writing _meta.json
+    as one single-object PUT publishes the new snapshot. Files replaced
+    by THIS commit are retained one generation (readers holding the
+    previous manifest stay valid); files retired before that are
+    garbage-collected best-effort."""
+    meta = {**meta, "retired": sorted(set(retired))}
+    live = set(_manifest_files(meta).values()) | set(meta["retired"])
+    fsio.write_json(fs, fsio.join(root, _META), meta)
+    fsio.write_marker(fs, fsio.join(root, _SUCCESS))
+    doomed = [
+        fsio.join(root, f)
+        for f in fsio.list_files(fs, root)
+        if f.endswith(".parquet") and f not in live
+    ]
+    fsio.delete_files_best_effort(fs, doomed)
+    return meta
 
 
 def save_band_library(
@@ -109,12 +139,23 @@ def save_band_library(
     One all-to-all: groupby(part). Within each partition group the
     bucket cap is applied globally per key (every key lives in exactly
     one partition) and rows are written (band_key, doc_id)-sorted so the
-    loader builds its CSR with one pass, no re-sort."""
+    loader builds its CSR with one pass, no re-sort.
+
+    Durability: manifest commit, no renames (state/fsio.py) — workers
+    write generation-unique immutable part files straight to the final
+    root (any pyarrow.fs: local or object store), and the driver's
+    _meta.json PUT is the commit point. A crashed save leaves the
+    previous snapshot fully readable; its orphan files are GC'd by the
+    next successful commit."""
     assert num_partitions & (num_partitions - 1) == 0, "num_partitions must be 2^k"
     from consult_ray.pipelines.dedup import band_rows, fingerprints
 
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
+    fs, root = fsio.resolve_fs(path)
+    fsio.mkdirs(fs, root)
+    gen = uuid.uuid4().hex[:8]
+    old_files: list[str] = []
+    if fsio.exists(fs, fsio.join(root, _META)):
+        old_files = list(_manifest_files(fsio.read_json(fs, fsio.join(root, _META))).values())
 
     fp = fingerprints(corpus, cfg, text_col=text_col, id_col=id_col)
     bands = band_rows(fp, cfg, kinds=kinds)
@@ -140,9 +181,11 @@ def save_band_library(
             "doc_id": pa.array(docs[idx]),
             "simhash": pa.array(sims[idx]),
         })
-        pq.write_table(out, _part_path(tmp, part))
+        name = _part_name(part, gen)
+        pq.write_table(out, fsio.join(root, name), filesystem=fs)
         return pa.table({
             "part": pa.array([part], pa.int64()),
+            "file": pa.array([name], pa.string()),
             "rows": pa.array([out.num_rows], pa.int64()),
             "n_keys": pa.array([len(uniq)], pa.int64()),
             "dropped": pa.array([int(len(keys) - out.num_rows)], pa.int64()),
@@ -159,14 +202,7 @@ def save_band_library(
         "num_partitions": num_partitions,
         "partitions": sorted(manifest_rows, key=lambda r: r["part"]),
     }
-    with open(os.path.join(tmp, _META), "w") as f:
-        json.dump(manifest, f)
-    with open(os.path.join(tmp, _SUCCESS), "w") as f:
-        f.write("")
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    return manifest
+    return _commit_manifest(fs, root, manifest, retired=old_files)
 
 
 def append_to_band_library(
@@ -184,8 +220,10 @@ def append_to_band_library(
     re-append of the same docs is a no-op) and re-applies the per-key
     min-doc_id cap — which makes append ORDER-FREE: appending B to a
     library built from A yields byte-identical partitions to building
-    from A ∪ B (pytest-asserted). Per-partition writes are atomic
-    (tmp + rename); _meta is rewritten last."""
+    from A ∪ B (pytest-asserted). Durability follows the manifest
+    protocol (state/fsio.py): merged partitions land in NEW
+    generation-unique files; the _meta.json PUT publishes them and
+    retires the replaced files for one generation."""
     from consult_ray.pipelines.dedup import band_rows, fingerprints
 
     fp = fingerprints(new_docs, cfg, text_col=text_col, id_col=id_col)
@@ -205,6 +243,9 @@ def append_band_rows(
     meta = read_library_meta(path)
     check_signature(meta, cfg, kinds)
     num_partitions = int(meta["num_partitions"])
+    fs, root = fsio.resolve_fs(path)
+    files = _manifest_files(meta)
+    gen = uuid.uuid4().hex[:8]
 
     def add_part(batch: pa.Table) -> pa.Table:
         keys = batch["band_key"].to_numpy(zero_copy_only=False)
@@ -217,9 +258,9 @@ def append_band_rows(
         keys = g["band_key"].to_numpy(zero_copy_only=False)
         docs = g["doc_id"].to_numpy(zero_copy_only=False)
         sims = g["simhash"].to_numpy(zero_copy_only=False)
-        f = _part_path(path, part)
-        if os.path.exists(f):
-            old = pq.read_table(f)
+        old_name = files.get(part)
+        if old_name is not None:
+            old = pq.read_table(fsio.join(root, old_name), filesystem=fs)
             keys = np.concatenate([old["band_key"].to_numpy(zero_copy_only=False), keys])
             docs = np.concatenate([old["doc_id"].to_numpy(zero_copy_only=False), docs])
             sims = np.concatenate([old["simhash"].to_numpy(zero_copy_only=False), sims])
@@ -235,11 +276,11 @@ def append_band_rows(
             "doc_id": pa.array(docs[idx]),
             "simhash": pa.array(sims[idx]),
         })
-        tmp = f"{f}.tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(out, tmp)
-        os.replace(tmp, f)
+        name = _part_name(part, gen)
+        pq.write_table(out, fsio.join(root, name), filesystem=fs)
         return pa.table({
             "part": pa.array([part], pa.int64()),
+            "file": pa.array([name], pa.string()),
             "rows": pa.array([out.num_rows], pa.int64()),
             "n_keys": pa.array([len(uniq)], pa.int64()),
             "dropped": pa.array([int(len(keys) - out.num_rows)], pa.int64()),
@@ -252,12 +293,13 @@ def append_band_rows(
         .take_all()
     )
     by_part = {int(p["part"]): p for p in meta["partitions"]}
+    replaced = [
+        files[int(p["part"])] for p in touched if int(p["part"]) in files
+    ]
     for p in touched:
         by_part[int(p["part"])] = p
     meta["partitions"] = [by_part[k] for k in sorted(by_part)]
-    with open(os.path.join(path, _META), "w") as f:
-        json.dump(meta, f)
-    return meta
+    return _commit_manifest(fs, root, meta, retired=replaced)
 
 
 def init_band_library(
@@ -268,21 +310,19 @@ def init_band_library(
 ) -> dict:
     """An empty library (for streaming ingest that starts from nothing)."""
     assert num_partitions & (num_partitions - 1) == 0, "num_partitions must be 2^k"
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
+    fs, root = fsio.resolve_fs(path)
+    fsio.mkdirs(fs, root)
+    old_files: list[str] = []
+    if fsio.exists(fs, fsio.join(root, _META)):
+        old_files = list(
+            _manifest_files(fsio.read_json(fs, fsio.join(root, _META))).values()
+        )
     manifest = {
         "signature": _cfg_signature(cfg, kinds),
         "num_partitions": num_partitions,
         "partitions": [],
     }
-    with open(os.path.join(tmp, _META), "w") as f:
-        json.dump(manifest, f)
-    with open(os.path.join(tmp, _SUCCESS), "w") as f:
-        f.write("")
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    return manifest
+    return _commit_manifest(fs, root, manifest, retired=old_files)
 
 
 def ingest_shard(
@@ -369,11 +409,11 @@ def ingest_shard(
 
 
 def read_library_meta(path: str) -> dict:
-    assert os.path.exists(os.path.join(path, _SUCCESS)), (
+    fs, root = fsio.resolve_fs(path)
+    assert fsio.exists(fs, fsio.join(root, _SUCCESS)), (
         f"band library at {path} is incomplete (no _SUCCESS)"
     )
-    with open(os.path.join(path, _META)) as f:
-        return json.load(f)
+    return fsio.read_json(fs, fsio.join(root, _META))
 
 
 def check_signature(meta: dict, cfg: PipelineConfig, kinds: tuple[str, ...]) -> None:
@@ -384,14 +424,23 @@ def check_signature(meta: dict, cfg: PipelineConfig, kinds: tuple[str, ...]) -> 
         raise ValueError(f"band library signature mismatch: {diff}")
 
 
-def load_partition_csr(path: str, part: int) -> BandTableCSR:
+def _empty_csr() -> BandTableCSR:
+    e = np.empty(0, dtype=np.int64)
+    return BandTableCSR(e, np.zeros(1, dtype=np.int64), e, e.view(np.uint64))
+
+
+def load_partition_csr(
+    path: str, part: int, file: str | None = None
+) -> BandTableCSR:
     """One key-range partition -> CSR arrays. Rows are stored sorted by
-    (band_key, doc_id), so this is a single pass, no sort."""
-    f = _part_path(path, part)
-    if not os.path.exists(f):  # no corpus keys in this range
-        e = np.empty(0, dtype=np.int64)
-        return BandTableCSR(e, np.zeros(1, dtype=np.int64), e, e.view(np.uint64))
-    t = pq.read_table(f)
+    (band_key, doc_id), so this is a single pass, no sort. `file` is
+    the manifest's data-file name; omit it to resolve via _meta.json."""
+    fs, root = fsio.resolve_fs(path)
+    if file is None:
+        file = _manifest_files(read_library_meta(path)).get(part)
+    if file is None:  # no corpus keys in this range
+        return _empty_csr()
+    t = pq.read_table(fsio.join(root, file), filesystem=fs)
     keys = t["band_key"].to_numpy(zero_copy_only=False)
     docs = t["doc_id"].to_numpy(zero_copy_only=False)
     sims = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -401,14 +450,15 @@ def load_partition_csr(path: str, part: int) -> BandTableCSR:
 
 
 # per-worker-process partition cache: repeated probe tasks on the same
-# worker reuse the loaded CSR instead of re-reading parquet. The key
-# includes the part file's (mtime_ns, size) identity so a library
-# rewritten in place (append_to_band_library, re-save) invalidates
-# stale entries — long-lived Ray workers otherwise serve the OLD CSR
-# and streaming ingest silently keeps duplicates. LRU bounded by BYTES
-# (not entry count): batch-routed probing touches every partition a
-# batch's keys span, so a worker may legitimately cache the whole
-# library when it fits, and must evict cleanly when it does not.
+# worker reuse the loaded CSR instead of re-reading parquet. Data files
+# are immutable and generation-unique (manifest protocol), so the FILE
+# NAME is a complete identity — no mtime/size stat, which object stores
+# do not provide reliably. A library rewritten in place publishes NEW
+# file names, so long-lived workers can never serve a stale CSR; old
+# generations age out of the LRU. Bounded by BYTES (not entry count):
+# batch-routed probing touches every partition a batch's keys span, so
+# a worker may legitimately cache the whole library when it fits, and
+# must evict cleanly when it does not.
 from collections import OrderedDict
 
 _PART_CACHE: OrderedDict[tuple, BandTableCSR] = OrderedDict()
@@ -422,23 +472,18 @@ def _csr_nbytes(csr: BandTableCSR) -> int:
     return csr.keys.nbytes + csr.offs.nbytes + csr.docs.nbytes + csr.sims.nbytes
 
 
-def _part_file_version(path: str, part: int) -> tuple:
-    f = _part_path(path, part)
-    try:
-        st = os.stat(f)
-        return (st.st_mtime_ns, st.st_size)
-    except FileNotFoundError:
-        return (None, None)
-
-
-def _cached_partition(path: str, part: int) -> BandTableCSR:
+def _cached_partition(
+    path: str, part: int, file: str | None
+) -> BandTableCSR:
     global _PART_CACHE_BYTES
-    key = (path, part, *_part_file_version(path, part))
+    if file is None:  # no corpus keys in this range: nothing to cache
+        return _empty_csr()
+    key = (path, part, file)
     hit = _PART_CACHE.get(key)
     if hit is not None:
         _PART_CACHE.move_to_end(key)
         return hit
-    csr = load_partition_csr(path, part)
+    csr = load_partition_csr(path, part, file)
     # drop any stale versions of this partition, then bound the cache
     for k in [k for k in _PART_CACHE if k[:2] == (path, part)]:
         _PART_CACHE_BYTES -= _csr_nbytes(_PART_CACHE.pop(k))
@@ -488,6 +533,7 @@ def probe_band_rows_batch(
     library_path: str,
     cfg: PipelineConfig,
     num_partitions: int,
+    files: dict[int, str] | None = None,
 ) -> pa.Table:
     """Probe ONE query band-row batch against the library with NO
     shuffle: split the batch's rows by key-range partition id, probe
@@ -510,6 +556,8 @@ def probe_band_rows_batch(
 
     Output: one row per distinct query doc in the batch —
     (doc_id, hit: partial match count, mdoc: partial min match doc)."""
+    if files is None:
+        files = _manifest_files(read_library_meta(library_path))
     pkeys = batch["band_key"].to_numpy(zero_copy_only=False)
     pdocs = batch["doc_id"].to_numpy(zero_copy_only=False)
     n = len(pkeys)
@@ -541,7 +589,8 @@ def probe_band_rows_batch(
             sel = sel[counts[local[sel]] < cfg.collision_threshold]
             if not len(sel):
                 continue
-        t = _cached_partition(library_path, int(sp[bounds[i]]))
+        p_i = int(sp[bounds[i]])
+        t = _cached_partition(library_path, p_i, files.get(p_i))
         h, m = _probe_against_csr(t, pkeys[sel], pdocs[sel], psims[sel], cfg)
         hit[sel] = h
         mdoc[sel] = m
@@ -586,9 +635,12 @@ def classify_queries_partitioned(
 
     # batch-level routing, NO all-to-all: each map task splits its own
     # band rows by key-range partition and probes the worker-cached CSRs
-    # (probe parallelism = block count; see probe_band_rows_batch)
+    # (probe parallelism = block count; see probe_band_rows_batch). The
+    # manifest's part->file map is resolved ONCE on the driver and
+    # shipped in the closure, pinning every probe task to this snapshot.
+    files = _manifest_files(meta)
     probes = bands.map_batches(
-        lambda b: probe_band_rows_batch(b, library_path, cfg, num_partitions),
+        lambda b: probe_band_rows_batch(b, library_path, cfg, num_partitions, files),
         batch_format="pyarrow",
         batch_size=None,
     )

@@ -24,6 +24,54 @@ def grouped(
     return g.select(keys + gen).rename_columns(keys + out_names)
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
+    """read_parquet with the file's schema METADATA stripped at the
+    source. Parquet written via pandas carries a b'pandas' schema-
+    metadata dict that makes pa.Schema unhashable, so every downstream
+    Ray Data schema-dedup logs 'Failed to hash the schemas' and pays
+    the slow unify path on EVERY block (transform_pyarrow.unify_schemas
+    hashes schemas for an early exit). Stripping at the read keeps all
+    derived blocks metadata-free."""
+    import ray.data as rd
+
+    if "filter" in kw:
+        # a row filter binds against the OVERRIDE schema, which is
+        # pre-projected to `columns`; filter fields outside the
+        # projection would fail to bind. Skip the override — filtered
+        # reads keep their native schema (metadata hashing only hurts
+        # wide shuffles, which filtered micro-reads don't feed).
+        return rd.read_parquet(path, columns=columns, **kw)
+
+    schema = None
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            names = sorted(
+                n for n in os.listdir(path) if n.endswith(".parquet")
+            )
+            target = os.path.join(path, names[0]) if names else path
+        schema = pq.read_schema(target)
+        if schema.metadata is None and all(
+            f.metadata is None for f in schema
+        ):
+            schema = None  # already clean; let Ray infer as usual
+        else:
+            fields = [f.remove_metadata() for f in schema]
+            if columns is not None:
+                # Ray applies the schema to the PROJECTED batches, so it
+                # must be pre-projected to the requested columns
+                by_name = {f.name: f for f in fields}
+                fields = [by_name[c] for c in columns]
+            schema = pa.schema(fields, metadata=None)
+    except Exception:
+        schema = None
+    return rd.read_parquet(path, columns=columns, schema=schema, **kw)
+
+
 def cluster_cpus() -> int:
     """Total CPUs of the current Ray cluster (>=1). Works before/after
     ray.init — Ray Data auto-inits on first use anyway."""

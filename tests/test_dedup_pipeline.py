@@ -348,13 +348,22 @@ def test_distributed_cc_round_checkpoint_resume(ray_session, tmp_path):
     ds = rd.from_arrow(edges).repartition(6).materialize()
     d = str(tmp_path / "cc")
     r1 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
-    rounds = [x for x in os.listdir(d) if x.startswith("cc_round_")]
-    assert len(rounds) >= 2, "path graph must need multiple rounds"
+    import re
+
+    marks = [x for x in os.listdir(d) if re.fullmatch(r"cc_round_\d+\.json", x)]
+    assert len(marks) >= 2, "path graph must need multiple rounds"
     assert set(r1.label) == {0}
 
-    # crash simulation: lose the last completed round, rerun
-    last = max(int(x.split("_")[-1]) for x in rounds)
-    shutil.rmtree(os.path.join(d, f"cc_round_{last}"))
+    # crash simulation: lose the last round's commit marker AND its data
+    # dir, rerun (the resume scan must fall back to the previous round)
+    import json
+
+    last = max(int(x.split("_")[-1].split(".")[0]) for x in marks)
+    mark = os.path.join(d, f"cc_round_{last}.json")
+    with open(mark) as f:
+        data_dir = json.load(f)["data"]
+    shutil.rmtree(os.path.join(d, data_dir))
+    os.remove(mark)
     r2 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
     assert dict(zip(r1.node, r1.label)) == dict(zip(r2.node, r2.label))
 

@@ -22,6 +22,19 @@ from consult_ray.state.library import (
 )
 from consult_ray.state.lookup import build_band_table, classify_queries
 
+def _no_files(parts):
+    """Manifest rows minus the generation-unique data-file names."""
+    return [{k: v for k, v in p.items() if k != "file"} for p in parts]
+
+
+def _part_table(lib, meta, part):
+    import pyarrow.parquet as pq
+
+    from consult_ray.state.library import _manifest_files
+
+    return pq.read_table(f"{lib}/{_manifest_files(meta)[int(part)]}")
+
+
 CFG = PipelineConfig()
 
 
@@ -90,8 +103,22 @@ def test_overwrite_is_idempotent(corpus_and_queries, tmp_path_factory):
     lib = str(tmp_path_factory.mktemp("lib4") / "band_tables")
     m1 = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
     m2 = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
-    assert m1["partitions"] == m2["partitions"]
+    assert _no_files(m1["partitions"]) == _no_files(m2["partitions"])
     assert read_library_meta(lib)["num_partitions"] == 4
+    # second commit retired the first generation's files (still on disk
+    # for in-flight readers of the old manifest); a third commit GCs them
+    retired = read_library_meta(lib)["retired"]
+    assert sorted(retired) == sorted(
+        p["file"] for p in m1["partitions"]
+    )
+    for f in retired:
+        assert os.path.exists(os.path.join(lib, f))
+    m3 = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
+    on_disk = {f for f in os.listdir(lib) if f.endswith(".parquet")}
+    live = {p["file"] for p in m3["partitions"]} | set(
+        read_library_meta(lib)["retired"]
+    )
+    assert on_disk == live  # older generations garbage-collected
 
 
 def test_probe_early_exit_preserves_matched(corpus_and_queries):
@@ -172,16 +199,16 @@ def test_append_equals_rebuild(corpus_and_queries, tmp_path_factory):
     m_full = save_band_library(rd.from_arrow(both), CFG, lib_full,
                                num_partitions=8)
 
-    assert m_inc["partitions"] == m_full["partitions"]
+    assert _no_files(m_inc["partitions"]) == _no_files(m_full["partitions"])
     for p in m_full["partitions"]:
         part = int(p["part"])
-        ta = pq.read_table(f"{lib_inc}/part-{part:05d}.parquet")
-        tb = pq.read_table(f"{lib_full}/part-{part:05d}.parquet")
+        ta = _part_table(lib_inc, m_inc, part)
+        tb = _part_table(lib_full, m_full, part)
         assert ta.equals(tb), part
 
     # idempotent re-append
     m_again = append_to_band_library(rd.from_arrow(b_tbl), CFG, lib_inc)
-    assert m_again["partitions"] == m_full["partitions"]
+    assert _no_files(m_again["partitions"]) == _no_files(m_full["partitions"])
 
 
 def test_streaming_ingest_dedups_across_shards(ray_session, tmp_path_factory):
@@ -232,9 +259,39 @@ def test_streaming_ingest_dedups_across_shards(ray_session, tmp_path_factory):
     m2 = save_band_library(rd.from_arrow(surv_tbl), CFG, lib2, num_partitions=8)
     from consult_ray.state.library import read_library_meta
     m1 = read_library_meta(lib)
-    assert m1["partitions"] == m2["partitions"]
+    assert _no_files(m1["partitions"]) == _no_files(m2["partitions"])
     for p in m2["partitions"]:
         part = int(p["part"])
-        ta = pq.read_table(f"{lib}/part-{part:05d}.parquet")
-        tb = pq.read_table(f"{lib2}/part-{part:05d}.parquet")
+        ta = _part_table(lib, m1, part)
+        tb = _part_table(lib2, m2, part)
         assert ta.equals(tb), part
+
+
+def test_crashed_save_leaves_snapshot_readable(corpus_and_queries,
+                                               tmp_path_factory):
+    """Manifest commit: a save that dies after writing data files but
+    before the _meta.json PUT must leave the previous snapshot fully
+    readable (no torn state), and the orphan files must be GC'd by the
+    next successful commit."""
+    import pyarrow.parquet as pq
+
+    corpus_tbl, query_tbl = corpus_and_queries
+    lib = str(tmp_path_factory.mktemp("crash") / "band_tables")
+    m1 = save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
+    before = classify_queries_partitioned(
+        rd.from_arrow(query_tbl), lib, CFG
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+
+    # simulate a crashed overwrite: new-generation data files appear,
+    # manifest never lands
+    orphan = os.path.join(lib, "part-00002-deadbeef.parquet")
+    pq.write_table(_part_table(lib, m1, m1["partitions"][0]["part"]), orphan)
+
+    after = classify_queries_partitioned(
+        rd.from_arrow(query_tbl), lib, CFG
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    cols = ["doc_id", "matched", "match_count", "match_doc"]
+    assert after[cols].equals(before[cols])  # old snapshot intact
+
+    save_band_library(rd.from_arrow(corpus_tbl), CFG, lib, num_partitions=4)
+    assert not os.path.exists(orphan)  # next commit garbage-collects it
