@@ -411,6 +411,35 @@ def _decode_rows(buf: np.ndarray, offsets: np.ndarray) -> pa.Array:
         )
 
 
+def _invalid_utf8_rows(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Row indices whose bytes are NOT valid utf-8. Fast path is one
+    SIMD-validating Arrow cast over the whole buffer (catches invalid
+    sequences AND row boundaries splitting a multi-byte char); the
+    per-row strict-decode loop runs only when that cast fails."""
+    n = len(offsets) - 1
+    if n == 0:
+        return np.empty(0, np.int64)
+    arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(np.ascontiguousarray(offsets)),
+         pa.py_buffer(np.ascontiguousarray(buf))],
+    )
+    try:
+        arr.cast(pa.large_string())
+        return np.empty(0, np.int64)
+    except pa.lib.ArrowInvalid:
+        pass
+    view = memoryview(buf)
+    bad = []
+    for i in range(n):
+        try:
+            str(view[int(offsets[i]) : int(offsets[i + 1])], "utf-8", "strict")
+        except UnicodeDecodeError:
+            bad.append(i)
+    return np.array(bad, np.int64)
+
+
 def extract_text_column(html_col: pa.Array) -> pa.Array:
     """Vectorized batch extraction over a binary column; byte-identical
     to mapping extract_text over the rows (pytest contract). The hot
@@ -428,6 +457,25 @@ def extract_text_column(html_col: pa.Array) -> pa.Array:
     buf, offsets = binary_view(html_col)
     buf, offsets = _drop_subtrees(buf, offsets)
     buf, offsets = _strip_tags(buf, offsets)
+    # The bytes-level entity pass commutes with utf-8 decode ONLY on
+    # valid utf-8: on invalid rows an entity splice can fuse stray
+    # bytes into a valid sequence (b'\xc2&#6\xa9' -> b'\xc2\xa9')
+    # where v1's decode-first sees two U+FFFDs. Such rows take the v1
+    # scalar tail; everything else stays on the vectorized path.
+    bad = _invalid_utf8_rows(buf, offsets)
+    fallback = None
+    if bad.size:
+        view = memoryview(buf)
+        fallback = [
+            _WS_RE.sub(
+                " ",
+                _htmlmod.unescape(
+                    str(view[int(offsets[i]) : int(offsets[i + 1])],
+                        "utf-8", "replace")
+                ),
+            ).strip()
+            for i in bad
+        ]
     buf, offsets = _unescape_entities(buf, offsets)
     buf, offsets = _collapse_ws_runs(buf, offsets)
     if not buf.flags.c_contiguous:
@@ -437,6 +485,12 @@ def extract_text_column(html_col: pa.Array) -> pa.Array:
     text = text.cast(pa.string())
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    if fallback is not None:
+        mask = np.zeros(n, bool)
+        mask[bad] = True
+        text = pc.replace_with_mask(
+            text, pa.array(mask), pa.array(fallback, pa.string())
+        )
     if valid is not None:
         text = pc.if_else(valid, text, pa.scalar(None, pa.string()))
     return text

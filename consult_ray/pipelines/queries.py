@@ -484,6 +484,102 @@ def _pages_url_table(sf_dir: str):
     return docs.map_batches(mk_url, batch_format="pyarrow")
 
 
+_PAGES_EPOCH_US = 1_500_000_000_000_000  # fixed epoch (us), matches synth.py
+
+
+def _pages_table(sf_dir: str):
+    """documents -> the FULL BASELINE.json input_hint pages shape
+    (url:string, warc_ts:timestamp[us], html:binary, text:string,
+    lang:string) plus doc_id carried for oracle joins. Derived
+    deterministically: url = https://<source>/doc/<id>, warc_ts =
+    epoch + doc_id seconds, and html wraps the text in per-source
+    boilerplate chrome (title/header/nav/footer — the hot-band-key
+    driver, like synth.py's per-site wrapper) such that
+    extract_text(html) == text BYTE-identically, the input_hint
+    per-row invariant. The reference likewise keys records by their
+    free-form id line (/root/reference/main_search.cpp:761-766)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+
+        def lit(s: str) -> pa.Array:
+            return pa.array([s] * n)
+
+        src = batch["source"].cast(pa.string())
+        url = pc.binary_join_element_wise(
+            lit("https://"), src, lit("/doc/"),
+            pc.cast(batch["doc_id"], pa.string()), "",
+        )
+        html = pc.binary_join_element_wise(
+            lit("<html><head><title>"), url,
+            lit("</title></head><body><header><nav>home about "), src,
+            lit("</nav></header><main>"), batch["text"],
+            lit("</main><footer>copyright "), src,
+            lit(" all rights reserved</footer></body></html>"), "",
+        )
+        warc = pc.cast(
+            pc.add(
+                pc.multiply(batch["doc_id"], pa.scalar(1_000_000, pa.int64())),
+                pa.scalar(_PAGES_EPOCH_US, pa.int64()),
+            ),
+            pa.timestamp("us"),
+        )
+        return pa.table({
+            "url": url,
+            "warc_ts": warc,
+            "html": html.cast(pa.binary()),
+            "text": batch["text"],
+            "lang": batch["lang"],
+            "doc_id": batch["doc_id"],
+        })
+
+    return docs.map_batches(mk, batch_format="pyarrow")
+
+
+def q_pages_extract_text(sf_dir: str):
+    """Pinned html->text extraction over the input_hint pages table —
+    stage one of the flagship html pipeline, SQL-checked: the wrapper
+    guarantees extract_text(html) == text byte-identically, so the
+    oracle is the raw documents text (ws-normalized, an identity on
+    clean single-spaced text)."""
+    from consult_ray.functions.textnorm import extract_text_column
+
+    pages = _pages_table(sf_dir)
+
+    def ex(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_extracted": extract_text_column(
+                batch["html"].combine_chunks()
+            ),
+        })
+
+    return pages.map_batches(ex, batch_format="pyarrow")
+
+
+def q_dedup_clusters_pages(sf_dir: str):
+    """The COMPLETE input_hint flow in one query: pages(url, warc_ts,
+    html:binary, ...) -> pinned extraction -> url-keyed near-dup dedup
+    -> (url, cluster_url). No SQL oracle (band keys are engine hashes);
+    pytest asserts extraction byte-identity and cluster-partition
+    equality with the int64 documents path (tests/test_pages_flow.py)."""
+    from consult_ray.functions.textnorm import extract_text_column
+    from consult_ray.pipelines.dedup import dedup_url_pages
+
+    pages = _pages_table(sf_dir)
+
+    def ex(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "text": extract_text_column(batch["html"].combine_chunks()),
+        })
+
+    txt = pages.map_batches(ex, batch_format="pyarrow")
+    clusters, _stats = dedup_url_pages(txt, CFG, audit=True)
+    return clusters.select_columns(["url", "cluster_url"])
+
+
 def q_dedup_clusters_url(sf_dir: str):
     """Flagship dedup over a URL-KEYED pages table (string keys, no
     int64 ids in the input — the input_hint schema). Deterministic
@@ -550,6 +646,8 @@ QUERIES = {
     "minhash_edges": q_minhash_edges,
     "simhash_edges": q_simhash_edges,
     "dedup_clusters_url": q_dedup_clusters_url,
+    "pages_extract_text": q_pages_extract_text,
+    "dedup_clusters_pages": q_dedup_clusters_pages,
     **EXTRA_QUERIES,
 }
 
@@ -613,6 +711,12 @@ ORACLE_SQL = {
         "SELECT e.vec_id, CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) * 10000) AS BIGINT) AS cos_sim_e4 "
         "FROM embeddings e, q WHERE e.vec_id <> 0 "
         "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id LIMIT 10"
+    ),
+    "pages_extract_text": (
+        # the pages wrapper is invertible by construction; extraction
+        # collapses whitespace runs, an identity on the clean corpus
+        "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
+        "AS text_extracted FROM documents"
     ),
     **EXTRA_ORACLE_SQL,
 }
