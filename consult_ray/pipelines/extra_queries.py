@@ -518,6 +518,171 @@ def q_embedding_clusters(sf_dir: str):
     return assign_clusters(vecs, labels, CFG, id_col="vec_id")
 
 
+# --- web-pipeline operators over the input_hint pages shape ----------
+
+_PAGES_EPOCH_US = 1_500_000_000_000_000  # matches queries._pages_table
+_RECRAWL_DELTA_US = 30 * 86_400 * 1_000_000
+
+
+def q_pages_latest_crawl(sf_dir: str):
+    """Snapshot dedup: keep the LATEST crawl per url across two
+    deterministic crawl snapshots (every doc_id % 3 == 0 page is
+    re-crawled 30 days later) — the keep-newest-per-key operator every
+    Common-Crawl ingest runs before content dedup. url/warc_ts derived
+    exactly as queries._pages_table; timestamps carried as epoch-us
+    BIGINT for oracle hash safety. Plan: union of two narrow
+    map_batches -> per-batch partial (max, count) -> one groupby(url)
+    merging partials; nothing wider than the url key ever shuffles."""
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def mk(recrawl: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            if recrawl:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                batch = batch.filter(pa.array(ids % 3 == 0))
+            n = batch.num_rows
+            url = pc.binary_join_element_wise(
+                pa.array(["https://"] * n), batch["source"].cast(pa.string()),
+                pa.array(["/doc/"] * n), pc.cast(batch["doc_id"], pa.string()),
+                "",
+            )
+            ts = pc.add(
+                pc.multiply(batch["doc_id"], pa.scalar(1_000_000, pa.int64())),
+                pa.scalar(
+                    _PAGES_EPOCH_US + (_RECRAWL_DELTA_US if recrawl else 0),
+                    pa.int64(),
+                ),
+            )
+            return pa.table({"url": url, "ts_us": ts})
+
+        return f
+
+    pages = docs.map_batches(mk(False), batch_format="pyarrow").union(
+        docs.map_batches(mk(True), batch_format="pyarrow")
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return grouped(batch, ["url"], [("ts_us", "max"), ("ts_us", "count")],
+                       ["mx", "cnt"])
+
+    return (
+        pages.map_batches(pre, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Max("mx", alias_name="latest_ts_us"),
+                   Sum("cnt", alias_name="n_crawls"))
+    )
+
+
+def q_line_dedup_stats(sf_dir: str):
+    """Global LINE-level exact dedup (the RefinedWeb/CCNet boilerplate
+    pass): derive per-doc lines (stages/lines.py — header/footer
+    boilerplate repeats across every doc of a source), keep each
+    distinct line's first instance by (doc_id, line_no), and report per
+    doc how many of its lines are keepers. Plan: two shuffles of
+    16-byte rows — groupby(line_hash) min(packed doc,line_no) for
+    winners, groupby(doc_id) counts — then one narrow left join;
+    line TEXT never shuffles (64-bit hash key; ~3e-5 collision odds at
+    2^40 lines, same contract as exact_dedup_groups)."""
+    from consult_ray.stages.lines import LINE_NO_BITS, lines_batch, pack_line_key
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    keyed = docs.map_batches(
+        lambda b: pack_line_key(lines_batch(b)), batch_format="pyarrow"
+    )
+
+    def pre_tot(batch: pa.Table) -> pa.Table:
+        return grouped(batch, ["doc_id"], [("pack", "count")], ["cnt"])
+
+    totals = (
+        keyed.map_batches(pre_tot, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("cnt", alias_name="n_lines"))
+    )
+
+    def pre_win(batch: pa.Table) -> pa.Table:
+        return grouped(batch, ["line_hash"], [("pack", "min")], ["pack"])
+
+    winners = (
+        keyed.map_batches(pre_win, batch_format="pyarrow")
+        .groupby("line_hash")
+        .aggregate(Min("pack", alias_name="pack"))
+    )
+
+    def win_doc(batch: pa.Table) -> pa.Table:
+        d = pc.shift_right(batch["pack"], pa.scalar(LINE_NO_BITS, pa.int64()))
+        return grouped(pa.table({"doc_id": d}), ["doc_id"],
+                       [("doc_id", "count")], ["cnt"])
+
+    kept = (
+        winners.map_batches(win_doc, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("cnt", alias_name="n_kept"))
+    )
+
+    joined = totals.join(
+        kept, "left_outer", resolve_join_partitions(CFG), on=("doc_id",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": batch["n_lines"].cast(pa.int64()),
+            "n_kept": batch["n_kept"].fill_null(0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_doc_repetition_stats(sf_dir: str):
+    """Per-doc repetition census (the Gopher repetition-filter inputs):
+    word count, distinct-word count, and the most frequent word with
+    its count (ties broken by ascending word — binary collation both
+    sides). Entirely row-local: each batch computes its own docs' stats
+    with Arrow group_by/sort kernels; NO shuffle at any scale. Integer
+    and string outputs only, so the oracle hash is exact (the derived
+    fractions are left to the consumer)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from consult_ray.util import grouped
+
+        n = batch.num_rows
+        words = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(words).cast(pa.int64())
+        flat = pc.list_flatten(words)
+        d = np.repeat(np.arange(n, dtype=np.int64),
+                      lens.to_numpy(zero_copy_only=False))
+        wtab = pa.table({"d": pa.array(d), "w": flat})
+        counts = grouped(wtab, ["d", "w"], [("w", "count")], ["cnt"])
+        counts = counts.set_column(
+            2, "cnt", counts["cnt"].cast(pa.int64())
+        )
+        # distinct words per doc
+        nd = np.bincount(counts["d"].to_numpy(zero_copy_only=False),
+                         minlength=n).astype(np.int64)
+        # top word: first row per doc after (cnt desc, w asc) sort
+        srt = counts.sort_by([("d", "ascending"), ("cnt", "descending"),
+                              ("w", "ascending")])
+        ds_ = srt["d"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], ds_[1:] != ds_[:-1])) if len(ds_) else \
+            np.zeros(0, bool)
+        top = srt.filter(pa.array(first))
+        # srt covers every doc with >=1 word; split_pattern never yields
+        # an empty list (empty text -> ['']), so top has exactly n rows
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": lens,
+            "n_distinct_words": pa.array(nd),
+            "top_word": top["w"],
+            "top_word_count": top["cnt"],
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 EXTRA_QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "orders_by_month": q_orders_by_month,
@@ -536,6 +701,9 @@ EXTRA_QUERIES = {
     "token_stats_bpe": q_token_stats_bpe,
     "top_words": q_top_words,
     "approx_distinct_users_daily": q_approx_distinct_users_daily,
+    "pages_latest_crawl": q_pages_latest_crawl,
+    "line_dedup_stats": q_line_dedup_stats,
+    "doc_repetition_stats": q_doc_repetition_stats,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -655,5 +823,70 @@ EXTRA_ORACLE_SQL = {
         "LEFT JOIN (SELECT CAST(range AS INT) AS i FROM range(1, 65537)) n "
         "ON n.i <= length(d.text) - 15 "
         "GROUP BY d.doc_id, length(d.text)"
+    ),
+    # two deterministic crawl snapshots of the pages table (every
+    # doc_id%3==0 page recrawled 30 days later); epoch-us BIGINT
+    # timestamps match q_pages_latest_crawl's _PAGES_EPOCH_US math
+    "pages_latest_crawl": (
+        "WITH pages AS ("
+        "SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) "
+        "AS url, 1500000000000000 + doc_id * 1000000 AS ts_us "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR), "
+        "1500000000000000 + 2592000000000 + doc_id * 1000000 "
+        "FROM documents WHERE doc_id % 3 = 0) "
+        "SELECT url, CAST(max(ts_us) AS BIGINT) AS latest_ts_us, "
+        "CAST(count(*) AS BIGINT) AS n_crawls FROM pages GROUP BY url"
+    ),
+    # derived line structure (stages/lines.py): header boilerplate,
+    # 10-word body chunks via list_slice on a numbers table, footer;
+    # winner per distinct line = min (doc_id<<20 | line_no) composite
+    "line_dedup_stats": (
+        "WITH docs AS ("
+        "SELECT doc_id, source, string_split(text, ' ') AS ws, "
+        "CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS m "
+        "FROM documents), "
+        "nums AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 65536)), "
+        "body AS ("
+        "SELECT d.doc_id, 1 + n.k AS line_no, "
+        "array_to_string(list_slice(d.ws, 10 * n.k + 1, 10 * n.k + 10), ' ') "
+        "AS line FROM docs d JOIN nums n ON n.k < d.m), "
+        "lines AS ("
+        "SELECT doc_id, CAST(0 AS BIGINT) AS line_no, "
+        "'cookie notice from ' || source AS line FROM docs "
+        "UNION ALL SELECT doc_id, line_no, line FROM body "
+        "UNION ALL SELECT doc_id, m + 1, "
+        "'copyright ' || source || ' all rights reserved' FROM docs), "
+        "winners AS ("
+        "SELECT line, min(doc_id * 1048576 + line_no) AS pack "
+        "FROM lines GROUP BY line), "
+        "kept AS (SELECT pack // 1048576 AS doc_id, count(*) AS n_kept "
+        "FROM winners GROUP BY 1), "
+        "totals AS (SELECT doc_id, count(*) AS n_lines FROM lines "
+        "GROUP BY doc_id) "
+        "SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines, "
+        "CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept "
+        "FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id"
+    ),
+    # per-doc word census; top word ties break by ascending word
+    # (binary collation both engines)
+    "doc_repetition_stats": (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "cnt AS (SELECT doc_id, word, count(*) AS c FROM w "
+        "GROUP BY doc_id, word), "
+        "top AS (SELECT doc_id, word AS top_word, "
+        "CAST(c AS BIGINT) AS top_word_count, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, word) AS rn "
+        "FROM cnt), "
+        "nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_words "
+        "FROM cnt GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words, "
+        "nd.n_distinct_words, t.top_word, t.top_word_count "
+        "FROM documents d "
+        "JOIN nd ON d.doc_id = nd.doc_id "
+        "JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1"
     ),
 }
