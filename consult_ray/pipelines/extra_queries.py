@@ -683,6 +683,219 @@ def q_doc_repetition_stats(sf_dir: str):
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain corpus census over the url-keyed pages view: doc
+    count, total text bytes, distinct langs — the partition census every
+    crawl-scale pipeline runs before per-site policies. The domain is
+    PARSED from the url (not read from `source`) so the string-extract
+    kernel is exercised. Distinct-per-group without a distinct shuffle:
+    batch partials collapse to (domain, lang) rows, one small groupby
+    merges them, a second tiny groupby folds langs per domain."""
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * n), batch["source"].cast(pa.string()),
+            pa.array(["/doc/"] * n), pc.cast(batch["doc_id"], pa.string()), "",
+        )
+        # domain = host between the scheme and the first path slash
+        domain = pc.list_element(pc.split_pattern(url, "/"), 2)
+        t = pa.table({
+            "domain": domain,
+            "lang": batch["lang"],
+            "nb": pc.binary_length(batch["text"]).cast(pa.int64()),
+        })
+        return grouped(t, ["domain", "lang"], [("nb", "count"), ("nb", "sum")],
+                       ["cnt", "nb"])
+
+    per_lang = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["domain", "lang"])
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("nb", alias_name="nb"))
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return grouped(
+            batch.select(["domain", "cnt", "nb"]),
+            ["domain"], [("cnt", "sum"), ("nb", "sum"), ("cnt", "count")],
+            ["n_docs", "total_bytes", "n_langs"],
+        )
+
+    # second phase re-keys (domain, lang)->domain: partial fold per
+    # batch, tiny groupby merges (n_langs partials sum correctly because
+    # (domain, lang) rows are already globally unique after phase one)
+    return (
+        per_lang.map_batches(fold, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_bytes", alias_name="total_bytes"),
+                   Sum("n_langs", alias_name="n_langs"))
+    )
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style repetition/length quality gate (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): keep docs with >= 30 words, top-word
+    fraction <= 1/5, and distinct-word ratio >= 1/2. Entirely row-local
+    (reuses q_doc_repetition_stats' per-batch census) — NO shuffle at
+    any scale; emits the surviving ids + the stats that justified them."""
+    stats = q_doc_repetition_stats(sf_dir)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nw = batch["n_words"]
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(nw, pa.scalar(30)),
+                pc.less_equal(
+                    pc.multiply(batch["top_word_count"], pa.scalar(5)), nw
+                ),
+            ),
+            pc.greater_equal(
+                pc.multiply(batch["n_distinct_words"], pa.scalar(2)), nw
+            ),
+        )
+        return batch.filter(keep).select(
+            ["doc_id", "n_words", "n_distinct_words", "top_word_count"]
+        )
+
+    return stats.map_batches(gate, batch_format="pyarrow")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified head-k: the 3 smallest doc_ids per
+    (lang, source) stratum — the balanced eval-set draw. Two-phase
+    top-k: each batch keeps its own k smallest per stratum (vectorized
+    lexsort + run-rank, no Python loop), then one groupby over rows
+    <= k * n_strata merges. Equivalent to a global per-group
+    row_number() <= k at a fraction of the shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    K = 3
+
+    def head_k(batch: pa.Table) -> pa.Table:
+        srt = batch.sort_by(
+            [("lang", "ascending"), ("source", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        lang = srt["lang"].to_numpy(zero_copy_only=False)
+        src = srt["source"].to_numpy(zero_copy_only=False)
+        new = np.concatenate((
+            [True], (lang[1:] != lang[:-1]) | (src[1:] != src[:-1])
+        )) if len(lang) else np.zeros(0, bool)
+        # rank within run: index - index_of_run_start
+        idx = np.arange(len(lang))
+        run_start = idx[new]
+        rank = idx - np.repeat(run_start, np.diff(np.append(run_start, len(lang))))
+        return srt.filter(pa.array(rank < K))
+
+    merged = docs.map_batches(head_k, batch_format="pyarrow")
+    # rows now <= K * n_strata * n_blocks; one map_groups finishes
+    def final_k(g: pa.Table) -> pa.Table:
+        return g.sort_by([("doc_id", "ascending")]).slice(0, K)
+
+    return merged.groupby(["lang", "source"]).map_groups(
+        final_k, batch_format="pyarrow"
+    )
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact per-lang length quantiles (p25/p50/p75/p95 of n_chars) via
+    DISTRIBUTED value counting: batch partials collapse to
+    (lang, n_chars) count rows, a groupby merges them, and only that
+    bounded count table (distinct lengths x langs, ~1e6 rows even at
+    web scale) reaches the driver for the cumulative scan — the plan
+    shape that replaces a full sort at 10^12 rows. Quantile definition:
+    smallest v with count(x <= v) >= ceil(q * n) (inverse-CDF /
+    percentile_disc semantics, exactly mirrored in the oracle SQL)."""
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return grouped(batch, ["lang", "n_chars"], [("n_chars", "count")],
+                       ["cnt"])
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["lang", "n_chars"], ignore_index=True)
+    out = []
+    QS = [(25, 0.25), (50, 0.50), (75, 0.75), (95, 0.95)]
+    for lang, g in counts.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"lang": lang}
+        for tag, q in QS:
+            need = int(np.ceil(q * n))
+            row[f"p{tag}"] = int(vals[np.searchsorted(cum, need)])
+        out.append(row)
+    return pa.Table.from_pylist(out)
+
+
+def q_crawl_changed(sf_dir: str):
+    """Cross-snapshot change detection: every doc_id%3==0 page is
+    re-crawled 30 days later and every doc_id%6==0 page came back with
+    CHANGED content (text + ' updated!') — report each re-crawled url
+    with whether its content changed. Ray compares 64-bit content
+    hashes so text never shuffles (the exact_dedup collision contract);
+    the oracle compares the text itself — equal results whenever the
+    hash is collision-free on the corpus."""
+    from consult_ray.stages.text import doc_fingerprint_batch
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def snapshots(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        re_mask = ids % 3 == 0
+        base = batch
+        recrawl = batch.filter(pa.array(re_mask))
+        rids = recrawl["doc_id"].to_numpy(zero_copy_only=False)
+        changed = pa.array(rids % 6 == 0)
+        new_text = pc.if_else(
+            changed,
+            pc.binary_join_element_wise(recrawl["text"], " updated!", ""),
+            recrawl["text"],
+        )
+        recrawl = recrawl.set_column(
+            recrawl.schema.get_field_index("text"), "text", new_text
+        )
+        both = pa.concat_tables([base, recrawl])
+        n = both.num_rows
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * n), both["source"].cast(pa.string()),
+            pa.array(["/doc/"] * n), pc.cast(both["doc_id"], pa.string()), "",
+        )
+        h = doc_fingerprint_batch(both)["content_hash"]
+        t = pa.table({"url": url, "h": h})
+        return grouped(t, ["url"], [("h", "min"), ("h", "max"), ("h", "count")],
+                       ["hmin", "hmax", "cnt"])
+
+    agg = (
+        docs.map_batches(snapshots, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Min("hmin", alias_name="hmin"),
+                   Max("hmax", alias_name="hmax"),
+                   Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        both = pc.equal(batch["cnt"], pa.scalar(2, pa.int64()))
+        out = batch.filter(both)
+        return pa.table({
+            "url": out["url"],
+            "changed": pc.not_equal(out["hmin"], out["hmax"]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 EXTRA_QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "orders_by_month": q_orders_by_month,
@@ -704,6 +917,11 @@ EXTRA_QUERIES = {
     "pages_latest_crawl": q_pages_latest_crawl,
     "line_dedup_stats": q_line_dedup_stats,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "domain_stats": q_domain_stats,
+    "gopher_filter": q_gopher_filter,
+    "stratified_sample": q_stratified_sample,
+    "length_quantiles": q_length_quantiles,
+    "crawl_changed": q_crawl_changed,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -888,5 +1106,66 @@ EXTRA_ORACLE_SQL = {
         "FROM documents d "
         "JOIN nd ON d.doc_id = nd.doc_id "
         "JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1"
+    ),
+    # strlen = BYTES (matches Arrow binary_length); length() would be
+    # codepoints and diverge on the non-ascii langs
+    "domain_stats": (
+        "SELECT split_part('https://' || source || '/doc/' || "
+        "CAST(doc_id AS VARCHAR), '/', 3) AS domain, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+        "FROM documents GROUP BY 1"
+    ),
+    "gopher_filter": (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "cnt AS (SELECT doc_id, word, count(*) AS c FROM w "
+        "GROUP BY doc_id, word), "
+        "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_words, "
+        "CAST(max(c) AS BIGINT) AS top_word_count FROM cnt GROUP BY doc_id) "
+        "SELECT doc_id, n_words, n_distinct_words, top_word_count FROM s "
+        "WHERE n_words >= 30 AND top_word_count * 5 <= n_words "
+        "AND n_distinct_words * 2 >= n_words"
+    ),
+    "stratified_sample": (
+        "SELECT doc_id, lang, source FROM documents "
+        "QUALIFY row_number() OVER ("
+        "PARTITION BY lang, source ORDER BY doc_id) <= 3"
+    ),
+    # inverse-CDF quantiles: smallest v with count(x<=v) >= ceil(q*n),
+    # exactly the definition q_length_quantiles implements
+    "length_quantiles": (
+        "WITH c AS (SELECT lang, n_chars, count(*) AS cnt FROM documents "
+        "GROUP BY 1, 2), "
+        "cum AS (SELECT lang, n_chars, "
+        "sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cm, "
+        "sum(cnt) OVER (PARTITION BY lang) AS n FROM c) "
+        "SELECT lang, "
+        "CAST(min(CASE WHEN cm >= ceil(0.25 * n) THEN n_chars END) AS BIGINT)"
+        " AS p25, "
+        "CAST(min(CASE WHEN cm >= ceil(0.50 * n) THEN n_chars END) AS BIGINT)"
+        " AS p50, "
+        "CAST(min(CASE WHEN cm >= ceil(0.75 * n) THEN n_chars END) AS BIGINT)"
+        " AS p75, "
+        "CAST(min(CASE WHEN cm >= ceil(0.95 * n) THEN n_chars END) AS BIGINT)"
+        " AS p95 "
+        "FROM cum GROUP BY lang"
+    ),
+    # oracle compares TEXT; the engine compares 64-bit content hashes
+    # (equal whenever the hash is collision-free on the corpus — the
+    # exact_dedup contract)
+    "crawl_changed": (
+        "WITH snap AS ("
+        "SELECT doc_id, source, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, source, CASE WHEN doc_id % 6 = 0 "
+        "THEN text || ' updated!' ELSE text END "
+        "FROM documents WHERE doc_id % 3 = 0) "
+        "SELECT url, changed FROM ("
+        "SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) "
+        "AS url, count(*) AS c, min(text) <> max(text) AS changed "
+        "FROM snap GROUP BY 1) WHERE c = 2"
     ),
 }
