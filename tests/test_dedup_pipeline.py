@@ -416,3 +416,19 @@ def test_cc_resume_survives_torn_tmp_round_dir(ray_session, tmp_path):
     r2 = connected_components(ds, CFG, mode="distributed", checkpoint_dir=d).to_pandas()
     assert dict(zip(r1.node, r1.label)) == dict(zip(r2.node, r2.label))
     assert not os.path.exists(torn), "torn tmp dir must be swept"
+
+
+def test_compute_concurrency_cap_is_semantics_free(corpus, ray_session):
+    """PipelineConfig.compute_concurrency throttles task concurrency on
+    the bandwidth-bound stages (host-weather knob) — it must never
+    change a single cluster assignment."""
+    docs_tbl, _ = corpus
+
+    def run(cfg):
+        docs = rd.from_arrow(docs_tbl)
+        edges, _ = dup_edges(docs, cfg)
+        labels = connected_components(edges, cfg, mode="driver")
+        df = assign_clusters(docs, labels, cfg).to_pandas()
+        return dict(zip(df.doc_id, df.cluster_id))
+
+    assert run(CFG) == run(PipelineConfig(compute_concurrency=2))
