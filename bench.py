@@ -223,6 +223,10 @@ def _run_scaling() -> None:
         f"sec_{hi}": t_hi,
         f"sec_{lo}_trials": [r["value"] for r in runs_lo],
         f"sec_{hi}_trials": [r["value"] for r in runs_hi],
+        # delivered-core probe per leg: the weather record that explains
+        # trial spread (the host delivers a varying fraction of vCPUs)
+        f"eff_cores_{lo}_trials": [r.get("effective_cores") for r in runs_lo],
+        f"eff_cores_{hi}_trials": [r.get("effective_cores") for r in runs_hi],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "cpus": [lo, hi],

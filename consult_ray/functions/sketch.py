@@ -109,3 +109,30 @@ def hll_estimate(registers: np.ndarray, p: int) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------
+# Misra-Gries heavy-hitter summary (Misra & Gries 1982; mergeable form
+# per Agarwal et al., "Mergeable Summaries", PODS 2012)
+# ---------------------------------------------------------------------
+
+def misra_gries_shrink(
+    items: np.ndarray, weights: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shrink an exact (item, weight) frequency table to at most k
+    entries the Misra-Gries way: subtract the (k+1)-th largest weight
+    from every entry and drop the non-positive ones.
+
+    Every surviving weight UNDERestimates its true count by at most the
+    subtracted offset, and any item whose true count exceeds the sum of
+    offsets across all shrinks is guaranteed to survive — which is what
+    makes a sum-merge of per-block summaries a sound candidate
+    generator for a two-pass exact heavy-hitter query (no false
+    negatives above the error bound, false positives removed by the
+    exact second pass)."""
+    if len(items) <= k:
+        return items, weights
+    # offset = (k+1)-th largest weight (0-indexed kth)
+    offset = np.partition(weights, len(weights) - k - 1)[len(weights) - k - 1]
+    keep = weights > offset
+    return items[keep], weights[keep] - offset

@@ -896,7 +896,83 @@ def q_crawl_changed(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+_MG_K = 256            # Misra-Gries summary size per block
+_MG_SENTINEL = " "     # can't collide with a word (tokens are split on space)
+
+
+def q_heavy_hitter_words(sf_dir: str):
+    """EXACT corpus heavy hitters (every word whose count*100 >= total
+    word count) via a two-pass Misra-Gries plan (Misra & Gries 1982;
+    mergeable-summaries merge per Agarwal et al. 2012):
+
+      pass 1: per-block exact counts (pc.value_counts) shrunk to a
+              k-entry MG summary; summaries sum-merge in ONE small
+              groupby. A sentinel row carries the total token count.
+      pass 2: the candidate set (merged weight >= threshold - slack,
+              where slack = total // (k+1) bounds the total MG
+              undercount — a deterministic SUPERSET of the true heavy
+              hitters) is broadcast; blocks count candidates exactly;
+              one groupby + integer threshold filter gives the exact
+              answer.
+
+    Unlike top_words (full vocabulary census), nothing proportional to
+    the vocabulary ever reaches the driver: only the candidates (at
+    most ~total/(threshold-slack) words) are collected. SQL-checked
+    bit-exact — the two-pass structure is lossless by the MG bound."""
+    import ray
+
+    from consult_ray.functions.sketch import misra_gries_shrink
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        vc = pc.value_counts(toks)
+        words = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        w2, c2 = misra_gries_shrink(words, counts, _MG_K)
+        return pa.table({
+            "word": pa.array(np.concatenate([w2, [_MG_SENTINEL]]), pa.string()),
+            "w": pa.array(np.concatenate([c2, [counts.sum()]]).astype(np.int64)),
+        })
+
+    summary = (
+        docs.map_batches(summarize, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("w", alias_name="w"))
+        .materialize()  # small: bounded by the block summaries' union
+    )
+    total = summary.filter(expr=f"word == '{_MG_SENTINEL}'").take_all()[0]["w"]
+    thresh = -(-total // 100)          # ceil: 100*c >= total  <=>  c >= thresh
+    slack = total // (_MG_K + 1)       # max total MG undercount
+    cands = sorted(
+        r["word"]
+        for r in summary.filter(
+            expr=f"w >= {max(thresh - slack, 1)} and word != '{_MG_SENTINEL}'"
+        ).take_all()
+    )
+    ref = ray.put(pa.array(cands, pa.string()))
+
+    def count_cands(batch: pa.Table) -> pa.Table:
+        val = ray.get(ref)
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        toks = toks.filter(pc.is_in(toks, value_set=val))
+        vc = pc.value_counts(toks)
+        return pa.table({
+            "word": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    return (
+        docs.map_batches(count_cands, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n >= {thresh}")
+    )
+
+
 EXTRA_QUERIES = {
+    "heavy_hitter_words": q_heavy_hitter_words,
     "top_docs_by_chars": q_top_docs_by_chars,
     "orders_by_month": q_orders_by_month,
     "deterministic_sample": q_deterministic_sample,
@@ -925,6 +1001,12 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "heavy_hitter_words": (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents) "
+        "SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word "
+        "HAVING 100 * count(*) >= (SELECT count(*) FROM w)"
+    ),
     "top_docs_by_chars": (
         "SELECT doc_id, n_chars FROM documents "
         "ORDER BY n_chars DESC, doc_id LIMIT 20"

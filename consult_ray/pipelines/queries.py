@@ -613,6 +613,7 @@ def q_simhash_edges(sf_dir: str):
 # ---------------------------------------------------------------------
 
 from consult_ray.pipelines.extra_queries import EXTRA_ORACLE_SQL, EXTRA_QUERIES
+from consult_ray.pipelines.scrub_queries import SCRUB_ORACLE_SQL, SCRUB_QUERIES
 
 QUERIES = {
     "exact_dedup_reps": q_exact_dedup_reps,
@@ -649,6 +650,7 @@ QUERIES = {
     "pages_extract_text": q_pages_extract_text,
     "dedup_clusters_pages": q_dedup_clusters_pages,
     **EXTRA_QUERIES,
+    **SCRUB_QUERIES,
 }
 
 ORACLE_SQL = {
@@ -719,4 +721,5 @@ ORACLE_SQL = {
         "AS text_extracted FROM documents"
     ),
     **EXTRA_ORACLE_SQL,
+    **SCRUB_ORACLE_SQL,
 }

@@ -1,0 +1,116 @@
+"""Kernel tests for the scrub stage (Ray-free: pure Arrow/numpy).
+
+The registered pii_redact / url_canonical / decontaminate queries are
+SQL-checked end-to-end in test_queries_oracle.py; these tests pin the
+kernel edge cases the sf tables don't exercise.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from consult_ray.stages.scrub import (
+    ContaminationScanner,
+    canonicalize_url,
+    redact_pii,
+    remove_frequent_lines_batch,
+    snippet_window_hashes,
+)
+
+
+def test_redact_order_email_before_phone():
+    # the email pattern must consume its digits before the phone pass;
+    # adjacent PII tokens redact independently
+    t = pa.array([
+        "mail a+b_c%d@x-y.co.uk now",
+        "ip 192.168.0.1 tel +44 7911 123456.",
+        "a@b.io+1 23456789",
+        "no pii here",
+    ])
+    out = redact_pii(t).to_pylist()
+    assert out == [
+        "mail <EMAIL> now",
+        "ip <IP> tel <PHONE>.",
+        "<EMAIL><PHONE>",
+        "no pii here",
+    ]
+
+
+def test_canonicalize_url_cases():
+    t = pa.array([
+        "HTTP://WWW.Ex.COM/A/B/",                      # scheme+host lower, www, slash
+        "https://ex.com/p?utm_source=a&ref=b",          # all params tracked -> dropped
+        "https://ex.com/p?utm_x=1&keep=2",              # mixed -> keep survivor
+        "https://ex.com/Path/Case",                     # path case preserved
+        "https://www.ex.com",                           # bare host
+        "not a url/",                                   # no scheme: rewrites only
+    ])
+    out = canonicalize_url(t).to_pylist()
+    assert out == [
+        "http://ex.com/A/B",
+        "https://ex.com/p",
+        "https://ex.com/p?keep=2",
+        "https://ex.com/Path/Case",
+        "https://ex.com",
+        "not a url",
+    ]
+
+
+def test_snippet_hash_is_position_invariant():
+    # a snippet's single-window hash equals the same bytes' window hash
+    # at ANY position inside a larger doc (the scan's core premise)
+    from consult_ray.functions.hashing import rolling_shingle_hashes
+
+    k = 8
+    snip = b"abcdefgh"
+    hs = snippet_window_hashes([snip], k)
+    doc = b"xxxx" + snip + b"yyyyyyyy" + snip
+    concat = np.frombuffer(doc, dtype=np.uint8)
+    offsets = np.array([0, len(doc)], dtype=np.int64)
+    h, _ = rolling_shingle_hashes(concat, offsets, k)
+    assert np.isin(hs, h).all()
+    # and a doc without the snippet shares no window hash
+    other = np.frombuffer(b"0123456789abcdef0123", dtype=np.uint8)
+    h2, _ = rolling_shingle_hashes(other, np.array([0, 20], dtype=np.int64), k)
+    assert not np.isin(hs, h2).any()
+
+
+def test_contamination_scanner_edge_cases():
+    k = 8
+    snips = ["abcdefgh", "ZZZZZZZZ"]
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "prefix abcdefgh suffix",   # contains snippet mid-doc
+            "short",                    # shorter than k: cannot contain
+            "no match in this doc!!",   # long enough, no hit
+            "ZZZZZZZZ",                 # doc IS the snippet
+        ]),
+    })
+    out = ContaminationScanner(snips, k=k)(batch)
+    assert out["contaminated"].to_pylist() == [True, False, False, True]
+    # empty snippet set: nothing flagged
+    out2 = ContaminationScanner([], k=k)(batch)
+    assert out2["contaminated"].to_pylist() == [False] * 4
+
+
+def test_remove_frequent_lines_edge_cases():
+    # unsorted ids; one doc loses EVERY line (header+footer+body all
+    # frequent) -> n_kept 0, empty text_clean; reassembly preserves
+    # line order within each doc
+    batch = pa.table({
+        "doc_id": pa.array([7, 3], pa.int64()),
+        "text": pa.array(["a b", "x y"]),
+        "source": pa.array(["s1", "s1"]),
+    })
+    from consult_ray.stages.lines import lines_batch
+
+    lt = lines_batch(batch)
+    doc3_lines = [r["line"] for r in lt.to_pylist() if r["doc_id"] == 3]
+    out = remove_frequent_lines_batch(batch, pa.array(doc3_lines))
+    by_id = {r["doc_id"]: r for r in out.to_pylist()}
+    assert by_id[3]["n_kept"] == 0 and by_id[3]["text_clean"] == ""
+    # doc 7 keeps only its body line "a b" (header/footer shared with
+    # doc 3 via the same source, so they are in the frequent set too)
+    assert by_id[7]["text_clean"] == "a b" and by_id[7]["n_kept"] == 1
+    # row order follows the input batch
+    assert out["doc_id"].to_pylist() == [7, 3]
