@@ -163,7 +163,8 @@ def _run_bench() -> None:
         for name in ["lineitem_pricing", "events_hourly", "user_activity_skew",
                      "exact_dedup_reps", "knn_cosine", "token_stats",
                      "events_asof_order", "sessionized_events",
-                     "distinct_users_daily", "nation_order_value"]:
+                     "distinct_users_daily", "nation_order_value",
+                     "pii_redact", "boilerplate_scrub", "heavy_hitter_words"]:
             t0 = time.time()
             res = QUERIES[name](sf_dir)
             if hasattr(res, "count"):

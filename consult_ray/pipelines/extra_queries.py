@@ -896,6 +896,54 @@ def q_crawl_changed(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_export_survivors(sf_dir: str):
+    """Sink path as a first-class query (S5 + the resumable-output
+    contract): exact-dedup survivors are WRITTEN as hive-partitioned
+    parquet (one lang=<v> directory per language + a _SUCCESS marker;
+    a failed run re-exports, a finished one is skipped), then read
+    BACK through read_parquet's partition decoding and censused —
+    proving the output layout round-trips. Oracle = the same census
+    over the SQL survivor set."""
+    import hashlib
+    import os
+    import shutil
+
+    from consult_ray.pipelines import operators as ops
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    key = hashlib.md5(f"{sf_dir}:survivors:v1".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/consult_ray_export/{key}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        survivors = ops.exact_dedup_survivors(docs, CFG).select_columns(
+            ["doc_id", "lang", "n_chars"]
+        )
+        survivors.write_parquet(tmp, partition_cols=["lang"])
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp, out_dir)
+        open(marker, "w").close()
+
+    back = rd.read_parquet(out_dir)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"].cast(pa.string()),
+            "n_chars": batch["n_chars"].cast(pa.int64()),
+        })
+        return grouped(t, ["lang"], [("n_chars", "count"), ("n_chars", "sum")],
+                       ["n_docs", "total_chars"])
+
+    return (
+        back.map_batches(pre, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_chars", alias_name="total_chars"))
+    )
+
+
 _MG_K = 256            # Misra-Gries summary size per block
 _MG_SENTINEL = " "     # can't collide with a word (tokens are split on space)
 
@@ -973,6 +1021,7 @@ def q_heavy_hitter_words(sf_dir: str):
 
 EXTRA_QUERIES = {
     "heavy_hitter_words": q_heavy_hitter_words,
+    "export_survivors": q_export_survivors,
     "top_docs_by_chars": q_top_docs_by_chars,
     "orders_by_month": q_orders_by_month,
     "deterministic_sample": q_deterministic_sample,
@@ -1001,6 +1050,12 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "export_survivors": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents "
+        "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text) "
+        "GROUP BY lang"
+    ),
     "heavy_hitter_words": (
         "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
         "FROM documents) "

@@ -138,13 +138,12 @@ _SQL_URL = (
 )
 
 _SQL_URL_CANON = (
-    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace("
     "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) || "
     "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1), "
-    "'^([a-z][a-z0-9+.-]*://)www\\.', '\\1', 'g'), "
+    "'^([a-z][a-z0-9+.-]*://)(www\\.)+', '\\1', 'g'), "
     "'(utm_[a-z]+|ref)=[^&]*&?', '', 'g'), "
-    "'[?&]$', '', 'g'), "
-    "'/$', '', 'g')"
+    "'[?&/]+$', '', 'g')"
 )
 
 

