@@ -169,18 +169,23 @@ def rolling_shingle_hashes(
             np.cumsum(weighted, out=S[1:])
 
             n_windows = total - k + 1
-            # doc index of every byte position, built contiguously
-            # (np.repeat over per-doc lengths; empty docs contribute no
-            # positions, matching the searchsorted-right semantics)
+            # a window starting at byte p is valid iff it stays inside
+            # p's doc: invalid starts are the last min(k-1, len_i) byte
+            # positions of each doc. Build the mask by writing only
+            # those ~(k-1)*n_docs boundary positions (the previous
+            # full-width doc-of/pos-in-doc repeats moved 2 int64 arrays
+            # of EVERY byte position — measured ~30% of this kernel)
             n_docs_l = len(offsets) - 1
-            doc_of_all = np.repeat(
-                np.arange(n_docs_l, dtype=np.int64), lens
-            )[:n_windows]
-            pos_in_doc = (
-                np.arange(n_windows, dtype=np.int64)
-                - np.repeat(offsets[:-1].astype(np.int64), lens)[:n_windows]
+            cnt = np.minimum(lens, k - 1)
+            tot_inv = int(cnt.sum())
+            grp_off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            inv_idx = (
+                np.repeat(offsets[1:] - cnt, cnt)
+                + np.arange(tot_inv, dtype=np.int64)
+                - np.repeat(grp_off, cnt)
             )
-            valid = (pos_in_doc + k) <= lens[doc_of_all]
+            valid = np.ones(n_windows, dtype=bool)
+            valid[inv_idx[inv_idx < n_windows]] = False
 
             # h = BASE^{p+k-1} * (S[p+k] - S[p]) — contiguous slices over
             # ALL window positions then one boolean compress (gathers over
@@ -188,7 +193,12 @@ def rolling_shingle_hashes(
             pows = _powers_cached(ROLL_BASE, total + k)
             h_all = pows[k - 1: k - 1 + n_windows] * (S[k: k + n_windows] - S[:n_windows])
             out_hashes.append(splitmix64(h_all[valid]))
-            out_docs.append(doc_of_all[valid])
+            # valid windows are position-ordered, so their doc ids are
+            # the nondecreasing per-doc repeat of max(len-k+1, 0)
+            out_docs.append(np.repeat(
+                np.arange(n_docs_l, dtype=np.int64),
+                np.maximum(lens - (k - 1), 0),
+            ))
 
     short_idx = np.nonzero(~long_mask)[0]
     if len(short_idx):
@@ -201,6 +211,10 @@ def rolling_shingle_hashes(
 
     if not out_hashes:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    if len(out_hashes) == 1:
+        # single source (all-long or all-short docs): already grouped by
+        # doc in ascending order — skip the merge sort entirely
+        return out_hashes[0], out_docs[0]
 
     hashes = np.concatenate(out_hashes)
     doc_ids = np.concatenate(out_docs)
