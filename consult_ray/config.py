@@ -96,6 +96,17 @@ class PipelineConfig:
     # this from its measured delivered-parallelism probe; a cap >= the
     # session's real CPU count is a no-op by construction.
     compute_concurrency: int | None = None
+    # Candidate-pair generation strategy over the band table:
+    #   "group" — ONE hash-bucketed shuffle (part = band_key % P) +
+    #             vectorized intra-bucket pair expansion per partition;
+    #             per-task memory = band_rows/P, the same bound as the
+    #             hash join's per-partition build table.
+    #   "join"  — Dataset.join self-join (shuffles both sides; emits
+    #             every bucket's m^2 ordered pairs incl. self-pairs
+    #             before the a<b filter).
+    # Same edge multiset either way (pytest-asserted); "group" measured
+    # ~2x faster at 7.2M band rows.
+    candidate_strategy: str = "group"
     # O3 in-probe early exit (/root/reference/main_search.cpp:866-894):
     # the lookup actor processes band probes in (kind, band) order and
     # skips a query row's remaining probes once it has reached

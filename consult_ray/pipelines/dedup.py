@@ -366,23 +366,105 @@ def capped_band_rows(
     return capped, stats
 
 
+def _expand_bucket_pairs(
+    group: pa.Table, p: int, carry_band: bool
+) -> pa.Table:
+    """All intra-bucket unordered pairs of one hash partition, hamming-
+    verified — fully vectorized (sort by key, run-length bucket bounds,
+    cached triu index broadcast per distinct bucket size; bucket sizes
+    are bounded by the cap/salt policy so the size loop is tiny)."""
+    empty = pa.table({
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "hamming": pa.array([], pa.int8()),
+        **({"band_kind": pa.array([], pa.int8()),
+            "band": pa.array([], pa.int16())} if carry_band else {}),
+    })
+    if group.num_rows < 2:
+        return empty
+    keys = group["band_key"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    sizes = np.diff(np.concatenate((starts, [len(ks)])))
+    docs = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+    sims = group["simhash"].to_numpy(zero_copy_only=False)[order].view(np.uint64)
+    ia_parts, ib_parts = [], []
+    for m in np.unique(sizes):
+        if m < 2:
+            continue
+        I, J = np.triu_indices(int(m), k=1)
+        s = starts[sizes == m]
+        ia_parts.append((s[:, None] + I[None, :]).ravel())
+        ib_parts.append((s[:, None] + J[None, :]).ravel())
+    if not ia_parts:
+        return empty
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    a, b = docs[ia], docs[ib]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    ham = popcount64(sims[ia] ^ sims[ib])
+    ok = (ham <= p) & (lo != hi)
+    cols = {
+        "a": pa.array(lo[ok]),
+        "b": pa.array(hi[ok]),
+        "hamming": pa.array(ham[ok].astype(np.int8)),
+    }
+    if carry_band:
+        cols["band_kind"] = pa.array(
+            group["band_kind"].to_numpy(zero_copy_only=False)[order][ia][ok]
+        )
+        cols["band"] = pa.array(
+            group["band"].to_numpy(zero_copy_only=False)[order][ia][ok]
+        )
+    return pa.table(cols)
+
+
 def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     """Band rows -> verified dup edges (a, b, hamming), a < b.
 
-    Single hash-partitioned self-join on band_key generates all
-    intra-bucket pairs; the simhash rides on both sides so verification
-    is a vectorized popcount with no further join.
+    Two physically different plans with the SAME edge multiset
+    (pytest-asserted equal, including band identity at c>1):
 
-    Band identity (kind, band index) rides through the join ONLY when
+    - cfg.candidate_strategy == "group" (default): ONE hash-bucketed
+      shuffle — part = band_key % join_partitions — then vectorized
+      intra-bucket pair expansion per partition (_expand_bucket_pairs).
+      Moves the 24-40 B band rows across the wire exactly once and
+      never emits the join's m self-pairs / both-orders duplicates.
+      Per-task memory = band_rows/P, the same bound the hash join's
+      per-partition build table has.
+    - "join": Dataset.join self-join on band_key + a<b popcount verify
+      (the original plan; kept as the cross-check twin).
+
+    Band identity (kind, band index) rides through ONLY when
     collision_threshold > 1: with hot_policy="salt" one band collision
     appears in several salted triangle buckets and c>1 must count
-    DISTINCT band collisions (salt_hot_buckets contract) — the left
-    side's values equal the right side's because band_key determines
-    (kind, band). At c=1 the columns are pruned before the shuffle.
+    DISTINCT band collisions (salt_hot_buckets contract) — either pair
+    side's values work because band_key determines (kind, band). At c=1
+    the columns are pruned before the shuffle.
     """
     carry_band = cfg.collision_threshold > 1
     if not carry_band:
         bands = bands.select_columns(["band_key", "doc_id", "simhash"])
+
+    if cfg.candidate_strategy == "group":
+        P = resolve_join_partitions(cfg)
+        p = cfg.hamming_budget
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            k = batch["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+            part = (k % np.uint64(P)).astype(np.int64)
+            return batch.append_column("part", pa.array(part))
+
+        def expand(group: pa.Table) -> pa.Table:
+            return _expand_bucket_pairs(group, p, carry_band)
+
+        return (
+            bands.map_batches(add_part, batch_format="pyarrow", **_throttle(cfg))
+            .groupby("part")
+            .map_groups(expand, batch_format="pyarrow")
+        )
     joined = bands.join(
         bands,
         join_type="inner",

@@ -432,3 +432,32 @@ def test_compute_concurrency_cap_is_semantics_free(corpus, ray_session):
         return dict(zip(df.doc_id, df.cluster_id))
 
     assert run(CFG) == run(PipelineConfig(compute_concurrency=2))
+
+
+def test_candidate_strategy_group_equals_join(corpus, ray_session):
+    """The grouped single-shuffle pair expansion and the legacy hash
+    self-join must produce the SAME edge multiset, at c=1 and at c>1
+    with the salt policy (band identity carried)."""
+    import dataclasses
+    from collections import Counter
+
+    docs, _truth = corpus
+    ds = rd.from_arrow(docs)
+
+    def multiset(cfg):
+        edges, _ = dup_edges(ds, cfg)
+        df = edges.to_pandas()
+        return Counter(map(tuple, df[sorted(df.columns)].itertuples(index=False)))
+
+    for base in (
+        PipelineConfig(),
+        dataclasses.replace(
+            PipelineConfig(), hot_policy="salt", collision_threshold=2
+        ),
+    ):
+        g = multiset(dataclasses.replace(base, candidate_strategy="group"))
+        j = multiset(dataclasses.replace(base, candidate_strategy="join"))
+        assert g == j, (
+            f"strategy mismatch at c={base.collision_threshold}: "
+            f"{len(g)} vs {len(j)} distinct edge rows"
+        )
