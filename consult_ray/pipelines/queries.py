@@ -614,6 +614,7 @@ def q_simhash_edges(sf_dir: str):
 
 from consult_ray.pipelines.extra_queries import EXTRA_ORACLE_SQL, EXTRA_QUERIES
 from consult_ray.pipelines.scrub_queries import SCRUB_ORACLE_SQL, SCRUB_QUERIES
+from consult_ray.pipelines.train_queries import TRAIN_ORACLE_SQL, TRAIN_QUERIES
 
 QUERIES = {
     "exact_dedup_reps": q_exact_dedup_reps,
@@ -651,6 +652,7 @@ QUERIES = {
     "dedup_clusters_pages": q_dedup_clusters_pages,
     **EXTRA_QUERIES,
     **SCRUB_QUERIES,
+    **TRAIN_QUERIES,
 }
 
 ORACLE_SQL = {
@@ -722,4 +724,5 @@ ORACLE_SQL = {
     ),
     **EXTRA_ORACLE_SQL,
     **SCRUB_ORACLE_SQL,
+    **TRAIN_ORACLE_SQL,
 }

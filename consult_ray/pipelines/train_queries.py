@@ -1,0 +1,169 @@
+"""Training-data assembly queries: sequence packing, web-graph outlink
+census, and model-inference quality gating — the operators that sit
+between a deduped corpus and a training run. Same decoration discipline
+as scrub_queries.py: anything synthetic is derived deterministically
+from doc_id with the identical expression mirrored in the oracle SQL,
+so the check exercises the engine kernels, not the decoration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from consult_ray.config import PipelineConfig
+from consult_ray.util import read_parquet_clean
+
+CFG = PipelineConfig()
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- sequence packing --------------------------------------------------
+
+_PACK_SHARDS = 8        # sf-scale stream count; at 10^12 docs use 2^16+
+_PACK_BUDGET = 2048     # tokens per training sequence
+
+
+def q_pack_sequences(sf_dir: str):
+    """Contiguous-with-straddle sequence packing (docs -> fixed 2048-
+    token training sequences) in independent hash-sharded streams; only
+    24 B (doc_id, shard, n_tok) rows shuffle. SQL-checked bit-exact
+    against a windowed prefix sum."""
+    from consult_ray.stages.pack import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(docs, _PACK_SHARDS, _PACK_BUDGET)
+
+
+_SQL_PACK = (
+    f"WITH t AS (SELECT doc_id, ((doc_id % {_PACK_SHARDS}) + {_PACK_SHARDS}) "
+    f"% {_PACK_SHARDS} AS shard, "
+    "len(string_split(text, ' '))::BIGINT AS n_tok FROM documents), "
+    "c AS (SELECT doc_id, shard, n_tok, "
+    # CAST: the window SUM is HUGEINT, which pandas renders as float and
+    # the driver's value hash then mismatches the engine's int64
+    "CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS bef FROM t) "
+    f"SELECT doc_id, shard, n_tok, bef // {_PACK_BUDGET} AS seq_id, "
+    f"bef % {_PACK_BUDGET} AS seq_offset FROM c"
+)
+
+
+# --- outlink census ----------------------------------------------------
+
+def _decorate_link_html(batch: pa.Table) -> pa.Table:
+    """Deterministic html with 1 nav link + 0-3 outlinks + an optional
+    relative link per doc. Mirrored verbatim in _SQL_LINK_HTML."""
+    i = batch["doc_id"]
+    ids = i.to_numpy(zero_copy_only=False)
+    src = batch["source"].cast(pa.string())
+
+    def out_link_vec(j: int) -> pa.Array:
+        site = pa.array(((ids * 7 + j) % 50).astype("U"))
+        page = pa.array((ids % 997).astype("U"))
+        full = pc.binary_join_element_wise(
+            '<a href="https://site', site, ".com/doc/", page, '">l</a>', ""
+        )
+        return pc.if_else(pa.array(ids % 4 > j), full, pa.scalar(""))
+
+    nav = pc.binary_join_element_wise(
+        '<nav><a href="https://', src, '/home">home</a></nav>', ""
+    )
+    rel = pc.if_else(
+        pa.array(ids % 5 == 0),
+        pa.scalar('<a href="/rel/about">a</a>'),
+        pa.scalar(""),
+    )
+    html = pc.binary_join_element_wise(
+        nav, out_link_vec(0), out_link_vec(1), out_link_vec(2), rel, ""
+    )
+    return pa.table({"doc_id": i, "html": html})
+
+
+def q_pages_links(sf_dir: str):
+    """Web-graph outlink census: vectorized href extraction (two Arrow
+    split kernels, stages/weblinks.py) -> explode -> per-batch partial
+    counts -> one groupby(host). SQL-checked against DuckDB
+    regexp_extract_all + unnest."""
+    from ray.data.aggregate import Sum
+
+    from consult_ray.stages.weblinks import links_batch
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        links = links_batch(_decorate_link_html(batch))
+        # a doc's links all live in this batch, so per-batch distinct-doc
+        # partials sum exactly across batches
+        return grouped(
+            links, ["host"], [("link", "count"), ("doc_id", "count_distinct")],
+            ["n_links", "n_pages"],
+        )
+
+    return (
+        docs.map_batches(pre, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_links", alias_name="n_links"),
+                   Sum("n_pages", alias_name="n_pages"))
+    )
+
+
+_SQL_LINK_HTML = (
+    "'<nav><a href=\"https://' || source || '/home\">home</a></nav>' || "
+    "CASE WHEN doc_id % 4 > 0 THEN '<a href=\"https://site' || "
+    "((doc_id * 7) % 50) || '.com/doc/' || (doc_id % 997) || '\">l</a>' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 4 > 1 THEN '<a href=\"https://site' || "
+    "((doc_id * 7 + 1) % 50) || '.com/doc/' || (doc_id % 997) || '\">l</a>' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 4 > 2 THEN '<a href=\"https://site' || "
+    "((doc_id * 7 + 2) % 50) || '.com/doc/' || (doc_id % 997) || '\">l</a>' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '<a href=\"/rel/about\">a</a>' "
+    "ELSE '' END"
+)
+
+_SQL_LINKS = (
+    f"WITH m AS (SELECT doc_id, {_SQL_LINK_HTML} AS html FROM documents), "
+    "l AS (SELECT doc_id, unnest(regexp_extract_all(html, "
+    "'href=\"([^\"]*)\"', 1)) AS link FROM m), "
+    "h AS (SELECT doc_id, COALESCE(regexp_extract(link, "
+    "'^[a-z]+://([^/]*)', 1), '') AS host FROM l) "
+    "SELECT host, count(*)::BIGINT AS n_links, "
+    "count(DISTINCT doc_id)::BIGINT AS n_pages FROM h GROUP BY host"
+)
+
+
+# --- model-inference quality gate ---------------------------------------
+
+def q_quality_classifier(sf_dir: str):
+    """Batched model inference: hashed bag-of-words linear scorer as an
+    actor pool (weights built once per actor). Rows-only driver check;
+    tests/test_classifier.py pins the batch kernel to a per-row
+    reference implementation bit-for-bit."""
+    from consult_ray.stages.classifier import HashedLinearScorer
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        HashedLinearScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "quality_score", "quality_keep"])
+
+
+TRAIN_QUERIES = {
+    "pack_sequences": q_pack_sequences,
+    "pages_links": q_pages_links,
+    "quality_classifier": q_quality_classifier,
+}
+
+TRAIN_ORACLE_SQL = {
+    "pack_sequences": _SQL_PACK,
+    "pages_links": _SQL_LINKS,
+}

@@ -1,0 +1,133 @@
+"""Kernel tests for the training-data assembly operators (pack,
+weblinks, classifier) — pure batch-level checks; the end-to-end queries
+are covered by test_queries_oracle.py's registry parametrization."""
+
+import numpy as np
+import pyarrow as pa
+
+from consult_ray.stages.classifier import (
+    HashedLinearScorer,
+    make_weights,
+    score_rows_reference,
+)
+from consult_ray.stages.pack import pack_shard, token_shard_batch
+from consult_ray.stages.weblinks import extract_hrefs, link_host, links_batch
+
+
+# --- pack ------------------------------------------------------------
+
+
+def test_pack_shard_straddle_semantics():
+    g = pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "shard": pa.array([0, 0, 0], pa.int64()),
+        "n_tok": pa.array([30, 70, 50], pa.int64()),
+    })
+    out = pack_shard(g, budget=100).to_pydict()
+    # doc order 1,2,3; before = 0, 70, 120
+    assert out["doc_id"] == [1, 2, 3]
+    assert out["seq_id"] == [0, 0, 1]
+    assert out["seq_offset"] == [0, 70, 20]
+
+
+def test_pack_shard_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(200).astype(np.int64)
+    toks = rng.integers(1, 500, 200).astype(np.int64)
+    g = pa.table({
+        "doc_id": pa.array(ids),
+        "shard": pa.array(np.zeros(200, np.int64)),
+        "n_tok": pa.array(toks),
+    })
+    out = pack_shard(g, budget=256)
+    by_id = dict(zip(ids.tolist(), toks.tolist()))
+    before = 0
+    expect = {}
+    for d in sorted(by_id):
+        expect[d] = (before // 256, before % 256)
+        before += by_id[d]
+    got = {
+        d: (s, o)
+        for d, s, o in zip(
+            out["doc_id"].to_pylist(),
+            out["seq_id"].to_pylist(),
+            out["seq_offset"].to_pylist(),
+        )
+    }
+    assert got == expect
+
+
+def test_token_shard_batch_counts_like_split():
+    b = pa.table({
+        "doc_id": pa.array([0, 5, 9], pa.int64()),
+        "text": pa.array(["a b c", "", "one  two"]),  # "" -> 1, double space -> 3
+    })
+    out = token_shard_batch(b, n_shards=4).to_pydict()
+    assert out["n_tok"] == [3, 1, 3]
+    assert out["shard"] == [0, 1, 1]
+
+
+# --- weblinks ----------------------------------------------------------
+
+
+def test_extract_hrefs_edges():
+    html = pa.array([
+        '<a href="https://x.com/a">1</a> mid <a href="/rel">2</a>',
+        "no links here",
+        None,
+        "",
+        '<a href="unclosed',      # no closing quote -> regex no-match
+        'href="https://y.org/"',
+    ])
+    links, rows = extract_hrefs(html)
+    assert links.to_pylist() == ["https://x.com/a", "/rel", "https://y.org/"]
+    assert rows.tolist() == [0, 0, 5]
+    hosts = link_host(links).to_pylist()
+    assert hosts == ["x.com", "", "y.org"]
+
+
+def test_links_batch_explodes_with_ids():
+    b = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "html": pa.array(['<a href="https://a.b/x">.</a>', "none"]),
+    })
+    out = links_batch(b).to_pydict()
+    assert out == {"doc_id": [10], "link": ["https://a.b/x"], "host": ["a.b"]}
+
+
+# --- classifier ----------------------------------------------------------
+
+
+def test_scorer_matches_per_row_reference():
+    texts = ["the quick brown fox", "", "one", "a a a b", "uniécode tøkens"]
+    b = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    s = HashedLinearScorer(dim=1 << 12, seed=99, threshold=0.0)
+    out = s(b)
+    ref = score_rows_reference(texts, dim=1 << 12, seed=99, threshold=0.0)
+    got = list(zip(out["quality_score"].to_pylist(), out["quality_keep"].to_pylist()))
+    for (gs, gk), (rs, rk) in zip(got, ref):
+        assert gs == rs  # bit-exact: same hash, float64 accumulation
+        assert gk == rk
+
+
+def test_scorer_batch_split_invariant():
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "x", "longword"], 20))
+        for _ in range(64)
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(64), pa.int64()), "text": pa.array(texts)})
+    s = HashedLinearScorer(dim=1 << 10, seed=5)
+    whole = s(tbl)["quality_score"].to_pylist()
+    parts = []
+    for lo in range(0, 64, 17):
+        parts += s(tbl.slice(lo, 17))["quality_score"].to_pylist()
+    assert whole == parts
+
+
+def test_weights_deterministic():
+    assert np.array_equal(make_weights(256, 1), make_weights(256, 1))
+    assert not np.array_equal(make_weights(256, 1), make_weights(256, 2))
