@@ -115,6 +115,19 @@ class PipelineConfig:
     # reference's exact stop-at-c semantics). Off by default so the
     # actor and partitioned-library paths stay bit-identical.
     probe_early_exit: bool = False
+    # Bloom pre-filter for library classification (opt-in): a packed
+    # bit array over ALL library band keys is built once (per-block OR
+    # partials, cached per manifest generation), ray.put once, and each
+    # probe task drops its band rows that miss it BEFORE partition
+    # routing. A Bloom miss is never wrong, so dropped rows provably
+    # contribute zero matches and classification output is UNCHANGED
+    # (pytest-asserted); survivors still take the exact CSR path.
+    # Pays when the query stream is novel-heavy (streaming ingest of
+    # fresh crawl): misses skip the partition load entirely. Applicable
+    # while ~6-10 bits/key fits a worker heap (<=1e10 library keys);
+    # beyond that, shard the filter per key-range partition.
+    probe_bloom_prefilter: bool = False
+    bloom_fpp: float = 0.02
 
     # --- hot-key (heavy hitter) detection ---
     # "sketch": count-min sketch, two vectorized passes, no census shuffle

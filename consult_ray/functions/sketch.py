@@ -116,6 +116,65 @@ def hll_estimate(registers: np.ndarray, p: int) -> float:
 # per Agarwal et al., "Mergeable Summaries", PODS 2012)
 # ---------------------------------------------------------------------
 
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int, seed: int) -> np.ndarray:
+    """(k, n) bit positions via Kirsch-Mitzenmacher double hashing
+    (h1 + i*h2 mod m; Kirsch & Mitzenmacher 2006 — k independent hashes
+    are unnecessary). m_bits must be a power of two."""
+    x = np.ascontiguousarray(keys).view(np.uint64)
+    h1 = splitmix64(x ^ U64(seed))
+    h2 = splitmix64(x ^ U64(seed + 0x51_7C_C1)) | U64(1)
+    mask = U64(m_bits - 1)
+    out = np.empty((k, len(x)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            out[i] = ((h1 + U64(i) * h2) & mask).astype(np.int64)
+    return out
+
+
+def bloom_block_bits(keys: np.ndarray, m_bits: int, k: int, seed: int) -> np.ndarray:
+    """Packed uint64 Bloom bit array (m_bits/64 words) for one block of
+    keys. Blocks OR-merge (bloom_merge), so the build distributes as
+    per-block partials + one small tree reduce — same plan shape as the
+    CMS census above."""
+    pos = _bloom_positions(keys, m_bits, k, seed)
+    words = np.zeros(m_bits >> 6, dtype=np.uint64)
+    w = (pos >> 6).reshape(-1)
+    b = (pos & 63).reshape(-1)
+    np.bitwise_or.at(words, w, U64(1) << b.astype(np.uint64))
+    return words
+
+
+def bloom_merge(blocks: list[np.ndarray]) -> np.ndarray:
+    acc = np.zeros_like(blocks[0])
+    for s in blocks:
+        acc |= s
+    return acc
+
+
+def bloom_contains(words: np.ndarray, keys: np.ndarray, m_bits: int, k: int,
+                   seed: int) -> np.ndarray:
+    """Membership test, vectorized: True may be a false positive, False
+    is NEVER wrong — which is exactly the contract a dedup pre-filter
+    needs (a filtered-out probe is guaranteed novel; survivors go to the
+    exact path)."""
+    pos = _bloom_positions(keys, m_bits, k, seed)
+    hit = np.ones(pos.shape[1], dtype=bool)
+    for i in range(k):
+        hit &= (words[pos[i] >> 6] >> (pos[i] & 63).astype(np.uint64)) & U64(1) != 0
+    return hit
+
+
+def bloom_size_for(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits power of two, k) for a target false-positive rate."""
+    import math
+
+    n = max(1, n_keys)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m_bits = 1 << (m - 1).bit_length()
+    k = max(1, round(m_bits / n * math.log(2)))
+    return m_bits, min(k, 16)
+
+
 def misra_gries_shrink(
     items: np.ndarray, weights: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -411,6 +411,32 @@ def q_lookup_classify_lib(sf_dir: str):
     return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])
 
 
+def q_lookup_classify_bloom(sf_dir: str):
+    """lookup_classify_lib with the Bloom pre-filter on: band rows that
+    miss the library's packed Bloom bits (built per manifest generation,
+    ray.put once) drop BEFORE partition routing. A Bloom miss is never
+    wrong, so the classification is provably identical to the exact
+    path (pytest-asserted in tests/test_bloom.py); the gain at scale is
+    novel-heavy probe streams skipping partition loads entirely."""
+    import dataclasses
+    import tempfile
+
+    from consult_ray.state.library import (
+        classify_queries_partitioned,
+        save_band_library,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    corpus = docs.filter(expr=f"doc_id < {n // 2}")
+    queries_ds = docs.filter(expr=f"doc_id >= {n // 2}")
+    lib = tempfile.mkdtemp(prefix="consult_ray_lib_")
+    save_band_library(corpus, CFG, lib, num_partitions=8)
+    cfg = dataclasses.replace(CFG, probe_bloom_prefilter=True)
+    out = classify_queries_partitioned(queries_ds, lib, cfg)
+    return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: decode-stub actor pool over a deterministic
     synthetic media table (no media in the sf tables by design)."""
@@ -640,6 +666,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "lookup_classify": q_lookup_classify,
     "lookup_classify_lib": q_lookup_classify_lib,
+    "lookup_classify_bloom": q_lookup_classify_bloom,
     "band_occupancy_hist": q_band_occupancy_hist,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "media_features": q_media_features,

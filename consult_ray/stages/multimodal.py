@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment): `DeterministicFakeDecoder` produces a seeded,
+The decode kernels are import-gated (no image/audio libraries in this
+environment): `DeterministicFakeDecoder` produces a seeded,
 content-determined feature vector so the Ray-side plumbing — schema,
-batch sizing, actor signature, output layout — is real and testable,
-and `LibraryDecoder` raises NotImplementedError at the exact point a
-real PIL/libsndfile call would go.
+batch sizing, actor signature, output layout — is real and testable;
+`LibraryDecoder` carries the REAL PIL decode path (RGB decode + true
+dimensions + 4x4 mean-pooled features) and raises NotImplementedError
+at construction where PIL is absent.
 
 Batch-size guidance baked into `recommended_batch_size`: large binary
 payloads need SMALL batches so batch x concurrency fits in a worker
@@ -106,22 +107,76 @@ class DeterministicFakeDecoder:
 
 
 class LibraryDecoder:
-    """Where a real decoder would plug in. Import-gated: constructing it
-    without the optional dependency raises NotImplementedError (per the
-    build contract: stub clearly, keep plumbing real)."""
+    """The real decode stage, import-gated: constructing it without the
+    optional dependency raises NotImplementedError (per the build
+    contract: stub clearly, keep plumbing real). Where PIL IS installed
+    the stage is live: image payloads decode to RGB and emit true
+    (width, height) plus a 48-dim 4x4 mean-pooled RGB feature — the
+    same output schema family as DeterministicFakeDecoder, so swapping
+    stages is a constructor change, not a pipeline change.
+
+    Decode is inherently per-payload (an encoded image is one opaque
+    value); batch-level vectorization happens AROUND the codec — arrow
+    buffer slicing in, one stacked numpy reduction per batch out — and
+    throughput scales with the actor pool, the same shape as any model
+    inference stage."""
+
+    FEAT_DIM = 48  # 4x4 grid x RGB
 
     def __init__(self, kind: str = "image"):
         try:
-            import PIL.Image  # noqa: F401
+            import PIL.Image as PILImage
         except ImportError as e:
             raise NotImplementedError(
                 "real media decoding requires an image/audio library not "
                 "present in this environment; use DeterministicFakeDecoder"
             ) from e
+        self._Image = PILImage
         self.kind = kind
 
-    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
-        raise NotImplementedError
+    def _decode_one(self, payload: memoryview):  # pragma: no cover - needs PIL
+        import io
+
+        import numpy as np
+
+        try:
+            img = self._Image.open(io.BytesIO(payload)).convert("RGB")
+        except Exception:
+            return -1, -1, np.zeros(self.FEAT_DIM, dtype=np.float32)
+        a = np.asarray(img, dtype=np.float32)
+        h, w = a.shape[:2]
+        # 4x4 mean pool via two bincount-free reductions (pad-free:
+        # integer bucket edges)
+        ys = (np.arange(h) * 4) // max(h, 1)
+        xs = (np.arange(w) * 4) // max(w, 1)
+        pooled = np.zeros((4, 4, 3), dtype=np.float64)
+        counts = np.zeros((4, 4), dtype=np.int64)
+        np.add.at(pooled, (ys[:, None], xs[None, :]), a)
+        np.add.at(counts, (ys[:, None], xs[None, :]), 1)
+        pooled /= np.maximum(counts, 1)[..., None]
+        return w, h, (pooled.reshape(-1) / 255.0).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - needs PIL
+        import numpy as np
+
+        buf, offsets, lens = _payload_view(batch["payload"])
+        mv = memoryview(buf)
+        ws = np.full(batch.num_rows, -1, dtype=np.int32)
+        hs = np.full(batch.num_rows, -1, dtype=np.int32)
+        feats = np.zeros((batch.num_rows, self.FEAT_DIM), dtype=np.float32)
+        kinds = pc.fill_null(pc.equal(batch["kind"], self.kind), False)
+        kinds = kinds.to_numpy(zero_copy_only=False).astype(bool)
+        for i in np.flatnonzero(kinds & (lens > 0)):
+            ws[i], hs[i], feats[i] = self._decode_one(
+                mv[offsets[i] : offsets[i] + lens[i]]
+            )
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["width"] = pa.array(np.where(kinds, ws, -1).astype(np.int32))
+        cols["height"] = pa.array(np.where(kinds, hs, -1).astype(np.int32))
+        cols["features"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1)), self.FEAT_DIM
+        )
+        return pa.table(cols)
 
 
 class DeterministicFakeResizer:

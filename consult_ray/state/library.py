@@ -609,6 +609,56 @@ def probe_band_rows_batch(
     })
 
 
+# merged-bloom cache: keyed by the manifest's immutable data-file set,
+# so an append (new generation files) naturally invalidates it
+_BLOOM_CACHE: dict[tuple, tuple[np.ndarray, int, int]] = {}
+_BLOOM_SEED = 0xB100F
+
+
+def library_bloom(path: str, fpp: float = 0.02) -> tuple[np.ndarray, int, int]:
+    """(packed words, m_bits, k) Bloom filter over every band key in the
+    library. Built distributedly — per-block OR partials over the
+    partition files' band_key columns, merged driver-side (same plan
+    shape as the CMS census; above ~50M keys swap the driver fold for
+    the chunked tree reduce dedup.py uses). Cached per manifest
+    generation; sized from the manifest's exact per-partition n_keys."""
+    import ray.data as rd
+
+    meta = read_library_meta(path)
+    files = _manifest_files(meta)
+    key = (path, tuple(sorted(files.values())), fpp)
+    hit = _BLOOM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from consult_ray.functions.sketch import bloom_block_bits, bloom_merge, bloom_size_for
+
+    n_keys = sum(int(p["n_keys"]) for p in meta["partitions"])
+    m_bits, k = bloom_size_for(n_keys, fpp)
+    fs, root = fsio.resolve_fs(path)
+    paths = [fsio.join(root, f) for f in files.values()]
+    if not paths:
+        words = np.zeros(m_bits >> 6, dtype=np.uint64)
+    else:
+        def partial(b: pa.Table) -> pa.Table:
+            w = bloom_block_bits(
+                b["band_key"].to_numpy(zero_copy_only=False),
+                m_bits, k, _BLOOM_SEED,
+            )
+            return pa.table({"w": pa.array([w.tobytes()], pa.large_binary())})
+
+        blocks = (
+            rd.read_parquet(paths, columns=["band_key"], filesystem=fs)
+            .map_batches(partial, batch_format="pyarrow")
+            .take_all()
+        )
+        words = bloom_merge(
+            [np.frombuffer(r["w"], dtype=np.uint64) for r in blocks]
+        )
+    _BLOOM_CACHE.clear()  # at most one resident filter per process
+    _BLOOM_CACHE[key] = (words, m_bits, k)
+    return words, m_bits, k
+
+
 def classify_queries_partitioned(
     queries: Dataset,
     library_path: str,
@@ -632,6 +682,25 @@ def classify_queries_partitioned(
     if bands is None:
         fp = fingerprints(queries, cfg, text_col=text_col, id_col=id_col)
         bands = band_rows(fp, cfg, kinds=kinds)
+
+    if cfg.probe_bloom_prefilter:
+        # Bloom misses are guaranteed absent from the library, so
+        # dropping them here cannot change any doc's match set; docs
+        # whose every band row misses fall out entirely and surface as
+        # matched=False through the left_outer join below
+        import ray
+
+        from consult_ray.functions.sketch import bloom_contains
+
+        words, m_bits, k = library_bloom(library_path, cfg.bloom_fpp)
+        wref = ray.put(words)
+
+        def prefilter(b: pa.Table) -> pa.Table:
+            keys = b["band_key"].to_numpy(zero_copy_only=False)
+            keep = bloom_contains(ray.get(wref), keys, m_bits, k, _BLOOM_SEED)
+            return b.filter(pa.array(keep))
+
+        bands = bands.map_batches(prefilter, batch_format="pyarrow")
 
     # batch-level routing, NO all-to-all: each map task splits its own
     # band rows by key-range partition and probes the worker-cached CSRs
