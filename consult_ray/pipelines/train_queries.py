@@ -157,7 +157,92 @@ def q_quality_classifier(sf_dir: str):
     ).select_columns(["doc_id", "quality_score", "quality_keep"])
 
 
+# --- FASTA / FASTQ source formats (S1/S3, the reference's native IO) ----
+
+def _roundtrip_dir(sf_dir: str, kind: str, writer) -> str:
+    """Deterministic one-time export of documents to /tmp in the given
+    record format (same cache discipline as scrub_queries.docs_from_jsonl:
+    keyed by sf_dir+rows, _SUCCESS marker, atomic dir swap)."""
+    import hashlib
+    import os
+    import shutil
+
+    src = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = src.count()
+    key = hashlib.md5(f"{sf_dir}:{n}:{kind}:v1".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/consult_ray_{kind}/{key}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        writer(src, tmp)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp, out_dir)
+        open(marker, "w").close()
+    return out_dir
+
+
+def _record_stats(ds, with_qual: bool):
+    def stats(batch: pa.Table) -> pa.Table:
+        cols = {
+            "doc_id": pc.cast(batch["rec_id"], pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(batch["seq"]), pa.int64()),
+            "head": pc.utf8_slice_codeunits(batch["seq"], 0, 16),
+        }
+        if with_qual:
+            cols["qual_len"] = pc.cast(
+                pc.utf8_length(batch["qual"]), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_docs_from_fasta(sf_dir: str):
+    """REAL FASTA reader (S1, /root/reference/main_map.cpp:540-542):
+    documents exported once as .fa shards, read back with
+    read_binary_files + Arrow record parsing (file = unit of
+    parallelism), per-record id/length/head checked against the parquet
+    truth by the SQL oracle."""
+    import os
+
+    from consult_ray.sources.fasta import read_fasta, write_fasta_shards
+
+    d = _roundtrip_dir(sf_dir, "fasta", write_fasta_shards)
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".fa")]
+    return _record_stats(read_fasta(files), with_qual=False)
+
+
+def q_docs_from_fastq(sf_dir: str):
+    """REAL FASTQ reader (S3 4-line framing,
+    /root/reference/main_search.cpp:755-766), same round-trip contract
+    as docs_from_fasta plus the quality line (constant 'I' x len)."""
+    import os
+
+    from consult_ray.sources.fasta import read_fastq, write_fastq_shards
+
+    d = _roundtrip_dir(sf_dir, "fastq", write_fastq_shards)
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".fq")]
+    return _record_stats(read_fastq(files), with_qual=True)
+
+
+# newline->space at export is length-preserving, so length(text) is the
+# oracle's n_chars either way
+_SQL_FASTA = (
+    "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+    "substring(replace(text, chr(10), ' '), 1, 16) AS head FROM documents"
+)
+_SQL_FASTQ = (
+    "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+    "substring(replace(text, chr(10), ' '), 1, 16) AS head, "
+    "length(text)::BIGINT AS qual_len FROM documents"
+)
+
+
 TRAIN_QUERIES = {
+    "docs_from_fasta": q_docs_from_fasta,
+    "docs_from_fastq": q_docs_from_fastq,
     "pack_sequences": q_pack_sequences,
     "pages_links": q_pages_links,
     "quality_classifier": q_quality_classifier,
@@ -166,4 +251,6 @@ TRAIN_QUERIES = {
 TRAIN_ORACLE_SQL = {
     "pack_sequences": _SQL_PACK,
     "pages_links": _SQL_LINKS,
+    "docs_from_fasta": _SQL_FASTA,
+    "docs_from_fastq": _SQL_FASTQ,
 }
