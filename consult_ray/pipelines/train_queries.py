@@ -240,9 +240,34 @@ _SQL_FASTQ = (
 )
 
 
+# --- lineage / metrics surface ------------------------------------------
+
+def q_pipeline_lineage(sf_dir: str):
+    """The north-rule lineage/metrics contract as a driver-visible
+    query: run the checkpointed flagship pipeline end-to-end in a fresh
+    workdir and return its stage lineage (stage, rows_out, skipped).
+    Wall-times and per-partition file splits are in the workdir's
+    lineage JSONL (nondeterministic across runs, so not in the checked
+    output); tests/test_checkpoint_resume.py covers resume semantics
+    (rerun -> all stages skipped=True, identical outputs)."""
+    import tempfile
+
+    import pandas as pd
+
+    from consult_ray.pipelines.checkpointed import CheckpointedDedupPipeline
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    wd = tempfile.mkdtemp(prefix="consult_ray_lineage_")
+    pipe = CheckpointedDedupPipeline(wd, CFG)
+    pipe.run(docs)
+    t = pipe.lineage_table().select(["stage", "rows_out", "skipped"])
+    return t.to_pandas().sort_values("stage", ignore_index=True)
+
+
 TRAIN_QUERIES = {
     "docs_from_fasta": q_docs_from_fasta,
     "docs_from_fastq": q_docs_from_fastq,
+    "pipeline_lineage": q_pipeline_lineage,
     "pack_sequences": q_pack_sequences,
     "pages_links": q_pages_links,
     "quality_classifier": q_quality_classifier,
