@@ -240,6 +240,63 @@ _SQL_FASTQ = (
 )
 
 
+# --- quality features (integer inputs of the quality score) --------------
+
+_STOPLIST = (
+    "the a an and or of to in is was for it with as on be at by that this "
+    "he she they we you i not are were had has have from but"
+).split()
+
+
+def q_quality_features(sf_dir: str):
+    """The INTEGER inputs of stages/text.py's quality score — char,
+    token, stopword, punctuation, alpha counts per doc — SQL-checked
+    bit-exact (both engines run RE2; the derived float ratios stay in
+    the rows-only `quality_scores` query because cross-engine float
+    rounding is not bit-stable)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    stopset = pa.array(_STOPLIST)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        text = batch["text"]
+        toks = pc.split_pattern(text, " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        tok_doc = np.repeat(np.arange(batch.num_rows), n_per)
+        is_stop = pc.is_in(flat, value_set=stopset).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            tok_doc, weights=is_stop.astype(np.float64), minlength=batch.num_rows
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_stop": pa.array(n_stop),
+            "n_punct": pc.cast(
+                pc.count_substring_regex(text, r"[^\w\s]"), pa.int64()
+            ),
+            "n_alpha": pc.cast(
+                pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64()
+            ),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_QUALITY_FEATURES = (
+    "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+    "len(string_split(text, ' '))::BIGINT AS n_tokens, "
+    "len(list_filter(string_split(text, ' '), x -> x IN ("
+    + ",".join(f"'{s}'" for s in _STOPLIST)
+    + ")))::BIGINT AS n_stop, "
+    "len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct, "
+    "len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_alpha "
+    "FROM documents"
+)
+
+
 # --- lineage / metrics surface ------------------------------------------
 
 def q_pipeline_lineage(sf_dir: str):
@@ -268,6 +325,7 @@ TRAIN_QUERIES = {
     "docs_from_fasta": q_docs_from_fasta,
     "docs_from_fastq": q_docs_from_fastq,
     "pipeline_lineage": q_pipeline_lineage,
+    "quality_features": q_quality_features,
     "pack_sequences": q_pack_sequences,
     "pages_links": q_pages_links,
     "quality_classifier": q_quality_classifier,
@@ -278,4 +336,5 @@ TRAIN_ORACLE_SQL = {
     "pages_links": _SQL_LINKS,
     "docs_from_fasta": _SQL_FASTA,
     "docs_from_fastq": _SQL_FASTQ,
+    "quality_features": _SQL_QUALITY_FEATURES,
 }

@@ -106,6 +106,18 @@ def _escape(col: pa.Array) -> pa.Array:
     return pc.replace_substring(col, "\n", " ")
 
 
+def _blob(records) -> bytes:
+    """Concatenate a string column of per-record framings into one file
+    blob: a large_binary cast exposes the records as ONE contiguous
+    Arrow buffer, so this is a single memcpy, not a per-row join."""
+    from consult_ray.functions.textnorm import binary_view
+
+    if isinstance(records, pa.ChunkedArray):
+        records = records.combine_chunks()
+    buf, offsets = binary_view(records)
+    return buf[offsets[0]:offsets[-1]].tobytes()
+
+
 def write_fasta_shards(ds, out_dir: str, text_col: str = "text",
                        id_col: str = "doc_id") -> int:
     """Write one .fa file per block (vectorized join, one buffer write
@@ -118,11 +130,11 @@ def write_fasta_shards(ds, out_dir: str, text_col: str = "text",
             ">", pc.cast(batch[id_col], pa.string()), "\n",
             _escape(batch[text_col]), "\n", "",
         )
-        blob = "".join(body.to_pylist())
+        blob = _blob(body)
         import hashlib
 
-        name = hashlib.md5(blob[:256].encode() + str(len(blob)).encode()).hexdigest()[:16]
-        with open(os.path.join(out_dir, f"{name}.fa"), "w") as f:
+        name = hashlib.md5(blob[:256] + str(len(blob)).encode()).hexdigest()[:16]
+        with open(os.path.join(out_dir, f"{name}.fa"), "wb") as f:
             f.write(blob)
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
@@ -138,18 +150,24 @@ def write_fastq_shards(ds, out_dir: str, text_col: str = "text",
 
     def dump(batch: pa.Table) -> pa.Table:
         seq = _escape(batch[text_col])
-        # constant-quality line of the same length as seq ('I' repeated)
-        lens = pc.utf8_length(seq).to_numpy(zero_copy_only=False)
-        qual = pa.array(["I" * int(x) for x in lens])
+        # constant-quality line of the same length as seq ('I' repeated):
+        # one flat fill + offsets, no per-row string building
+        lens = pc.utf8_length(seq).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        qbuf = np.full(int(offs[-1]), ord("I"), dtype=np.uint8)
+        qual = pa.Array.from_buffers(
+            pa.large_binary(), len(lens),
+            [None, pa.py_buffer(offs), pa.py_buffer(qbuf)],
+        ).cast(pa.large_string()).cast(pa.string())
         body = pc.binary_join_element_wise(
             "@", pc.cast(batch[id_col], pa.string()), "\n", seq,
             "\n+\n", qual, "\n", "",
         )
-        blob = "".join(body.to_pylist())
+        blob = _blob(body)
         import hashlib
 
-        name = hashlib.md5(blob[:256].encode() + str(len(blob)).encode()).hexdigest()[:16]
-        with open(os.path.join(out_dir, f"{name}.fq"), "w") as f:
+        name = hashlib.md5(blob[:256] + str(len(blob)).encode()).hexdigest()[:16]
+        with open(os.path.join(out_dir, f"{name}.fq"), "wb") as f:
             f.write(blob)
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
