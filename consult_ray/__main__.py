@@ -16,6 +16,11 @@ Modes (one per reference binary, plus the flagship pipeline):
   * search-library: main_search analog — classify --input query docs
     against the --library, write matched/unclassified parquet under
     --workdir (the ucseq_ anti-join split).
+  * ingest: one streaming-dedup step — classify the --input shard
+    against the resident --library (created empty if missing), drop
+    near-dup docs, append the novel ones, write survivors parquet under
+    --workdir. Run per arriving shard; the library grows monotonically
+    and append is order-free + idempotent.
   * minimize: main_minimization analog — per-doc lexicographically
     smallest k-window (k=16), written as parquet under --workdir.
   * library-stats: occupancy report over a persisted library (the
@@ -46,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
                          "mode except library-stats")
     ap.add_argument("--mode",
                     choices=["dedup", "build-library", "search-library",
-                             "minimize", "library-stats"],
+                             "ingest", "minimize", "library-stats"],
                     default="dedup")
     ap.add_argument("--library", default=None,
                     help="band-table library dir (build-library output / "
@@ -147,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
     id_col = args.id_col
     sch = docs.schema()  # ray Schema: parallel .names / .types lists
     id_type = dict(zip(sch.names, sch.types))[args.id_col]
-    if args.mode in ("dedup", "build-library", "search-library") and not _pa.types.is_integer(
+    if args.mode in ("dedup", "build-library", "search-library", "ingest") and not _pa.types.is_integer(
         id_type
     ):
         from consult_ray.stages.ids import add_hashed_doc_ids
@@ -228,6 +233,29 @@ def main(argv: list[str] | None = None) -> int:
         n_m, n_u = matched.count(), unmatched.count()
         print(f"== searched library: {n_m} classified / {n_u} unclassified "
               f"in {time.time() - t0:.1f}s; parquet under {args.workdir} ==")
+        return 0
+
+    if args.mode == "ingest":
+        from consult_ray.state.library import (
+            ingest_shard,
+            init_band_library,
+        )
+
+        assert args.library, "--library required for ingest"
+        if not os.path.exists(os.path.join(args.library, "_SUCCESS")):
+            init_band_library(
+                args.library, cfg, num_partitions=args.library_partitions
+            )
+            print(f"initialized empty band library at {args.library}")
+        t0 = time.time()
+        res = ingest_shard(
+            docs, args.library, cfg, text_col=args.text_col, id_col=id_col
+        )
+        os.makedirs(args.workdir, exist_ok=True)
+        res["survivors"].write_parquet(os.path.join(args.workdir, "survivors"))
+        print(f"== ingested shard: {res['n_in']} docs -> {res['n_new']} novel "
+              f"appended, {res['n_dup']} dups dropped in "
+              f"{time.time() - t0:.1f}s; survivors under {args.workdir} ==")
         return 0
 
     t0 = time.time()
