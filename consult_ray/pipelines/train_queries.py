@@ -297,6 +297,87 @@ _SQL_QUALITY_FEATURES = (
 )
 
 
+# --- context-window chunking ---------------------------------------------
+
+_CHUNK_W = 128   # window tokens
+_CHUNK_S = 96    # stride (32-token overlap)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Context-window chunking: each doc explodes into overlapping
+    128-token windows at stride 96 (the RAG/embedding-prep operator).
+    Row-local and shuffle-free — pure window arithmetic over each
+    batch's flattened token array; emits per chunk (doc_id, chunk_no,
+    n_tok, first/last token) so the SQL oracle can check boundary
+    placement exactly without rebuilding chunk text."""
+    import numpy as np
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    W, S = _CHUNK_W, _CHUNK_S
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(batch["text"], " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        tok_start = np.concatenate(([0], np.cumsum(n_per)[:-1]))
+        m = 1 + np.maximum(0, -(-(n_per - W) // S))
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), m)
+        cm = np.concatenate(([0], np.cumsum(m)))
+        k = np.arange(int(cm[-1]), dtype=np.int64) - cm[doc_of]
+        start = k * S
+        end = np.minimum(start + W, n_per[doc_of])
+        first = flat.take(pa.array(tok_start[doc_of] + start))
+        last = flat.take(pa.array(tok_start[doc_of] + end - 1))
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of]),
+            "chunk_no": pa.array(k),
+            "n_tok": pa.array(end - start),
+            "first_tok": first,
+            "last_tok": last,
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_CHUNKS = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, "
+    "len(string_split(text, ' '))::BIGINT AS n FROM documents), "
+    f"c AS (SELECT doc_id, ws, n, 1 + GREATEST(0, "
+    f"CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT)) AS m FROM d), "
+    "nums AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 65536)) "
+    f"SELECT doc_id, k AS chunk_no, "
+    f"LEAST(k * {_CHUNK_S} + {_CHUNK_W}, n) - k * {_CHUNK_S} AS n_tok, "
+    f"ws[k * {_CHUNK_S} + 1] AS first_tok, "
+    f"ws[LEAST(k * {_CHUNK_S} + {_CHUNK_W}, n)] AS last_tok "
+    "FROM c JOIN nums ON nums.k < c.m"
+)
+
+
+# --- ANN self-evaluation ---------------------------------------------------
+
+def q_knn_recall(sf_dir: str):
+    """Eval harness for the approximate similarity paths: overlap@10 of
+    the hyperplane-LSH and IVF top-k against the exact brute-force
+    top-k for the same query vector. Deterministic (seeded planes /
+    k-means); rows-only. The flagship LSH near-dup path has its own
+    recall>=0.99 pytest — this surfaces ANN quality as data."""
+    import pandas as pd
+
+    from consult_ray.pipelines.queries import q_knn_cosine, q_knn_ivf, q_knn_lsh
+
+    brute = set(q_knn_cosine(sf_dir).to_pandas()["vec_id"])
+    rows = []
+    for method, q in (("lsh", q_knn_lsh), ("ivf", q_knn_ivf)):
+        approx = set(q(sf_dir).to_pandas()["vec_id"])
+        rows.append({
+            "method": method,
+            "k": len(brute),
+            "n_overlap": len(brute & approx),
+        })
+    return pd.DataFrame(rows)
+
+
 # --- lineage / metrics surface ------------------------------------------
 
 def q_pipeline_lineage(sf_dir: str):
@@ -326,6 +407,8 @@ TRAIN_QUERIES = {
     "docs_from_fastq": q_docs_from_fastq,
     "pipeline_lineage": q_pipeline_lineage,
     "quality_features": q_quality_features,
+    "doc_chunks": q_doc_chunks,
+    "knn_recall": q_knn_recall,
     "pack_sequences": q_pack_sequences,
     "pages_links": q_pages_links,
     "quality_classifier": q_quality_classifier,
@@ -337,4 +420,5 @@ TRAIN_ORACLE_SQL = {
     "docs_from_fasta": _SQL_FASTA,
     "docs_from_fastq": _SQL_FASTQ,
     "quality_features": _SQL_QUALITY_FEATURES,
+    "doc_chunks": _SQL_CHUNKS,
 }

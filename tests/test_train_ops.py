@@ -95,6 +95,46 @@ def test_links_batch_explodes_with_ids():
     assert out == {"doc_id": [10], "link": ["https://a.b/x"], "host": ["a.b"]}
 
 
+# --- doc_chunks ------------------------------------------------------------
+
+
+def test_doc_chunks_windows_multichunk():
+    """sf docs are all single-window; pin the multi-chunk arithmetic
+    (stride overlap, short tail, exact boundary) on synthetic lengths."""
+    import duckdb
+
+    from consult_ray.pipelines.train_queries import _CHUNK_S, _CHUNK_W, _SQL_CHUNKS, q_doc_chunks
+
+    assert (_CHUNK_W, _CHUNK_S) == (128, 96)
+    lens = [1, 96, 128, 129, 224, 225, 500]
+    texts = [" ".join(f"t{i}_{j}" for j in range(n)) for i, n in enumerate(lens)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(lens)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    got = q_doc_chunks(d).to_pandas().sort_values(
+        ["doc_id", "chunk_no"], ignore_index=True
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    want = con.sql(_SQL_CHUNKS).df().sort_values(
+        ["doc_id", "chunk_no"], ignore_index=True
+    )
+    for c in ["doc_id", "chunk_no", "n_tok", "first_tok", "last_tok"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    # chunk counts: 1+max(0,ceil((n-128)/96)) -> 1,1,1,2,2,3,5
+    counts = got.groupby("doc_id").size().tolist()
+    assert counts == [1, 1, 1, 2, 2, 3, 5]
+    # doc 3 (129 tokens): tail chunk starts at token 96, 33 tokens long
+    tail = got[(got.doc_id == 3) & (got.chunk_no == 1)].iloc[0]
+    assert tail.n_tok == 33 and tail.first_tok == "t3_96" and tail.last_tok == "t3_128"
+
+
 # --- classifier ----------------------------------------------------------
 
 
