@@ -378,6 +378,38 @@ def q_knn_recall(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+# --- n-gram LM quality filter (CCNet shape) --------------------------------
+
+_LM_WIDTH = 1 << 18
+_LM_SEED = 7171
+_LM_ADDK = 0.1
+
+
+def q_lm_score(sf_dir: str):
+    """CCNet-style LM quality filter: pass 1 trains a hashed bigram LM
+    on the corpus (per-block count partials, one merge), pass 2 scores
+    every doc's mean bigram log-prob via an actor pool holding the
+    ray.put model. Rows-only; tests/test_lm.py pins the batch kernel to
+    a per-row reference and asserts repeated text scores above shuffled
+    text (the filter's discriminating property)."""
+    import ray
+
+    from consult_ray.stages.lm import BigramLMScorer, train_bigram_lm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    c1, c2 = train_bigram_lm(docs, _LM_WIDTH, _LM_SEED)
+    c1_ref, c2_ref = ray.put(c1), ray.put(c2)
+    return docs.map_batches(
+        BigramLMScorer,
+        fn_constructor_kwargs=dict(
+            c1_ref=c1_ref, c2_ref=c2_ref, width=_LM_WIDTH,
+            seed=_LM_SEED, add_k=_LM_ADDK,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "lm_logprob"])
+
+
 # --- lineage / metrics surface ------------------------------------------
 
 def q_pipeline_lineage(sf_dir: str):
@@ -409,6 +441,7 @@ TRAIN_QUERIES = {
     "quality_features": q_quality_features,
     "doc_chunks": q_doc_chunks,
     "knn_recall": q_knn_recall,
+    "lm_score": q_lm_score,
     "pack_sequences": q_pack_sequences,
     "pages_links": q_pages_links,
     "quality_classifier": q_quality_classifier,
