@@ -40,10 +40,28 @@ def _cms_indices(keys: np.ndarray, width: int, depth: int, seed: int) -> np.ndar
 
 
 def cms_block_counts(
-    keys: np.ndarray, width: int, depth: int, seed: int
+    keys: np.ndarray, width: int, depth: int, seed: int,
+    saturate: int | None = None,
 ) -> np.ndarray:
-    """(depth, width) uint32 count grid for one block of keys."""
+    """(depth, width) count grid for one block of keys.
+
+    saturate=S clips every cell at S and emits uint8 (S <= 255) — valid
+    ONLY when the merged grid is used for THRESHOLDING at thr <= S:
+    sum_blocks(min(cell_b, S)) >= min(sum_blocks(cell_b), S) >= min(true
+    key count, S), so any key with true count >= thr still estimates
+    >= thr (the superset guarantee survives), while per-block transit
+    drops 4x vs uint32. Never use a saturated grid where the MAGNITUDE
+    matters (e.g. salt-group sizing)."""
     idx = _cms_indices(keys, width, depth, seed)
+    if saturate is not None:
+        assert saturate <= 255
+        out = np.empty((depth, width), dtype=np.uint8)
+        for d in range(depth):
+            np.minimum(
+                np.bincount(idx[d], minlength=width), saturate, out=out[d],
+                casting="unsafe",
+            )
+        return out
     out = np.empty((depth, width), dtype=np.uint32)
     for d in range(depth):
         out[d] = np.bincount(idx[d], minlength=width).astype(np.uint32)

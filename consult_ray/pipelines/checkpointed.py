@@ -64,6 +64,19 @@ def _write_checkpoint(ds: Dataset, path: str) -> tuple[int, list[dict]]:
     gen = f"data-{uuid.uuid4().hex[:8]}"
     data_dir = fsio.join(root, gen)
     ds.write_parquet(data_dir, filesystem=fs)
+    if not any(
+        f.endswith(".parquet") for f in fsio.list_files(fs, data_dir)
+    ):
+        # an EMPTY dataset writes zero files (and possibly no dir): a
+        # manifest naming a fileless generation would crash readback, so
+        # persist one explicit 0-row parquet carrying the schema (a
+        # schema-less empty stage — e.g. edges on an all-unique corpus —
+        # degrades to a 0-column file; downstream handles empty inputs)
+        schema = ds.schema(fetch_if_missing=True)
+        arrow_schema = getattr(schema, "base_schema", None) or pa.schema([])
+        fsio.mkdirs(fs, data_dir)
+        with fs.open_output_stream(fsio.join(data_dir, "empty.parquet")) as out:
+            pq.write_table(arrow_schema.empty_table(), out)
     parts = []
     for f in fsio.list_files(fs, data_dir):
         if not f.endswith(".parquet"):

@@ -150,6 +150,10 @@ def cap_hot_buckets(bands: Dataset, cfg: PipelineConfig, hot_keys: set[int]) -> 
 
 
 _CMS_MERGE_CHUNKS = 64
+# driver-merge branch: block grids are pre-summed in worker tasks of
+# this fan-in before take_all, bounding driver intake at ~n_blocks/16
+# grids instead of one grid per block
+_CMS_COMBINE_FANIN = 16
 # Above this many band rows the per-block grids (~12 MB each at the
 # default width; blocks are ~3M band rows at the 128 MB target block
 # size) would stream an unbounded volume into the driver — switch to the
@@ -159,12 +163,19 @@ _CMS_MERGE_CHUNKS = 64
 _CMS_DRIVER_MERGE_MAX_ROWS = 50_000_000
 
 
-def _merged_cms_grid(bands: Dataset, cfg: PipelineConfig) -> np.ndarray | None:
+def _merged_cms_grid(
+    bands: Dataset, cfg: PipelineConfig, saturate: int | None = None
+) -> np.ndarray | None:
     """Global count-min-sketch grid over band_key (int64 (D, W), or None
     for an empty dataset).
 
-    Small inputs: per-block uint32 grids -> driver sum (bounded intake,
-    see _CMS_DRIVER_MERGE_MAX_ROWS). Large inputs: each block's grid is
+    Small inputs: per-block grids -> a worker-side combine pass (one
+    task per _CMS_COMBINE_FANIN block grids) -> driver sum, so driver
+    intake is ~n_blocks/fanin rows instead of one 12 MB grid per block
+    (80 blocks of uint32 grids shipped 960 MB to the driver and were the
+    single largest fixed cost in the headline run). With `saturate`
+    (thresholding-only callers, see cms_block_counts) per-block transit
+    drops another 4x via uint8 grids. Large inputs: each block's grid is
     split into _CMS_MERGE_CHUNKS fixed cell ranges and a
     groupby(chunk_id) sums each range across blocks inside the shuffle
     aggregators — a tree reduce; the driver reassembles ONE grid from a
@@ -174,15 +185,36 @@ def _merged_cms_grid(bands: Dataset, cfg: PipelineConfig) -> np.ndarray | None:
     W, D, seed = cfg.cms_width, cfg.cms_depth, cfg.seed + 999
 
     if bands.count() <= _CMS_DRIVER_MERGE_MAX_ROWS:
+        block_dtype = np.uint8 if saturate is not None else np.uint32
+
         def sk_full(batch: pa.Table) -> pa.Table:
             grid = cms_block_counts(
-                batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed
+                batch["band_key"].to_numpy(zero_copy_only=False), W, D, seed,
+                saturate=saturate,
             )
             return pa.table({"sketch": pa.array([grid.tobytes()], pa.large_binary())})
 
-        rows = bands.map_batches(
-            sk_full, batch_format="pyarrow", batch_size=None, **_throttle(cfg)
-        ).take_all()
+        def combine(batch: pa.Table) -> pa.Table:
+            # sum <= fanin block grids into one uint32 grid (exact: cell
+            # sums are bounded by _CMS_DRIVER_MERGE_MAX_ROWS << 2^32;
+            # summing per-block-saturated grids keeps the superset
+            # guarantee, see cms_block_counts)
+            col = batch["sketch"]
+            acc = np.zeros(D * W, dtype=np.uint32)
+            for blob in col:
+                # astype first: mixed-width in-place adds hit numpy's
+                # slow mixed-dtype ufunc loops (see CLAUDE.md)
+                acc += np.frombuffer(blob.as_py(), dtype=block_dtype).astype(np.uint32)
+            return pa.table({"sketch": pa.array([acc.tobytes()], pa.large_binary())})
+
+        rows = (
+            bands.map_batches(
+                sk_full, batch_format="pyarrow", batch_size=None, **_throttle(cfg)
+            )
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=_CMS_COMBINE_FANIN)
+            .take_all()
+        )
         if not rows:
             return None
         return cms_merge(
@@ -244,10 +276,15 @@ def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     from consult_ray.functions.sketch import cms_estimate
 
     W, D, seed = cfg.cms_width, cfg.cms_depth, cfg.seed + 999
-    merged = _merged_cms_grid(bands, cfg)
+    thr = cfg.bucket_cap + 1
+    # this grid is only THRESHOLDED at thr, so per-block uint8
+    # saturation is value-identical (superset guarantee intact, see
+    # cms_block_counts) and ships 4x fewer census bytes
+    merged = _merged_cms_grid(
+        bands, cfg, saturate=thr if thr <= 255 else None
+    )
     if merged is None:
         return bands
-    thr = cfg.bucket_cap + 1
     # a key's estimate is the min over its OWN cell per depth row; those
     # cells sit at different indices, so the only sound early-exit bound
     # is the global max cell: if even that is under thr, no estimate can

@@ -158,3 +158,32 @@ def test_html_input_runs_extraction_stage(ray_session, tmp_path):
     a = out["clusters"].to_pandas().sort_values("doc_id", ignore_index=True)
     b = out_t["clusters"].to_pandas().sort_values("doc_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_empty_edges_checkpoint_round_trips(ray_session, tmp_path):
+    """An all-unique corpus yields ZERO dup edges; the edges stage must
+    still commit a readable checkpoint (write_parquet of an empty
+    dataset writes no files — _write_checkpoint persists an explicit
+    0-row file carrying the schema) and resume must skip it."""
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(800)]
+    texts = [" ".join(rng.choice(words, size=80)) for _ in range(120)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(120), pa.int64()),
+        "text": pa.array(texts),
+    }))
+
+    work = str(tmp_path / "wd")
+    p1 = CheckpointedDedupPipeline(work, CFG)
+    out1 = p1.run(docs)
+    assert out1["edges"].count() == 0
+    clusters1 = out1["clusters"].to_pandas().sort_values("doc_id")
+    assert clusters1.cluster_id.nunique() == 120  # every doc its own cluster
+
+    p2 = CheckpointedDedupPipeline(work, CFG)
+    out2 = p2.run(docs)
+    lin2 = p2.lineage_table().to_pandas()
+    assert set(lin2[lin2.skipped].stage) == set(CheckpointedDedupPipeline.STAGES)
+    assert out2["edges"].count() == 0
+    clusters2 = out2["clusters"].to_pandas().sort_values("doc_id")
+    assert clusters1.reset_index(drop=True).equals(clusters2.reset_index(drop=True))
