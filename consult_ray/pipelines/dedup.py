@@ -380,10 +380,18 @@ def salt_hot_buckets(bands: Dataset, cfg: PipelineConfig) -> Dataset:
 
 
 def capped_band_rows(
-    bands: Dataset, cfg: PipelineConfig
+    bands: Dataset, cfg: PipelineConfig, eager_stats: bool = True
 ) -> tuple[Dataset, dict]:
     """Apply the bucket-cap policy per cfg.census_mode; returns the
-    capped (materialized) band rows + stats."""
+    capped band rows + stats.
+
+    eager_stats=False (sketch path only) skips the materialize + count
+    that exist purely to report dropped_band_rows, returning the capped
+    union LAZY so a single-consumer downstream (the "group" candidate
+    shuffle) fuses the cap split into its map side — one less full
+    write+read of the band table through the object store (at web scale
+    that is an entire extra band-table materialization).
+    dropped_band_rows is None in that case."""
     stats: dict = {"census_mode": cfg.census_mode, "hot_policy": cfg.hot_policy}
     if cfg.hot_policy == "salt":
         n_before = bands.count()
@@ -397,8 +405,16 @@ def capped_band_rows(
         stats["hot_keys"] = len(hot)
         stats["dropped_band_rows"] = dropped
         return cap_hot_buckets(bands, cfg, hot).materialize(), stats
+    capped = cap_hot_buckets_sketch(bands, cfg)
+    if capped is bands:
+        # census proved no key exceeds the cap: identity, nothing dropped
+        stats["dropped_band_rows"] = 0
+        return capped, stats
+    if not eager_stats:
+        stats["dropped_band_rows"] = None
+        return capped, stats
     n_before = bands.count()
-    capped = cap_hot_buckets_sketch(bands, cfg).materialize()
+    capped = capped.materialize()
     stats["dropped_band_rows"] = int(n_before - capped.count())
     return capped, stats
 
@@ -598,6 +614,7 @@ def dup_edges(
     id_col: str = "doc_id",
     kinds: tuple[str, ...] = ("simhash", "minhash"),
     census: bool = True,
+    eager_stats: bool | None = None,
 ) -> tuple[Dataset, dict]:
     """End-to-end: documents -> verified dup edges. Returns (edges, stats).
 
@@ -605,12 +622,20 @@ def dup_edges(
     twice, and re-running fingerprinting twice would double the dominant
     compute. In the checkpointed pipeline (pipelines.checkpointed) this
     materialization is a parquet stage boundary instead.
+
+    eager_stats: whether the cap stage materializes + counts to report
+    dropped_band_rows (see capped_band_rows). Default: lazy under the
+    single-consumer "group" candidate strategy (the cap split fuses into
+    the candidate shuffle's map side), eager under "join" (which
+    consumes its input twice and must not re-run the split scans).
     """
     fp = fingerprints(docs, cfg, text_col=text_col, id_col=id_col)
     bands = band_rows(fp, cfg, kinds=kinds).materialize()
     stats: dict = {"dropped_band_rows": 0, "hot_keys": 0}
+    if eager_stats is None:
+        eager_stats = cfg.candidate_strategy != "group"
     if census:
-        bands, cstats = capped_band_rows(bands, cfg)
+        bands, cstats = capped_band_rows(bands, cfg, eager_stats=eager_stats)
         stats.update(cstats)
     edges = candidate_edges(bands, cfg)
     edges = pair_count_threshold(edges, cfg)
