@@ -218,6 +218,17 @@ def _run_scaling() -> None:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # weather-normalized DIAGNOSTIC (not the gate number): divide the
+    # raw speedup by the delivered-core ratio of the chosen legs. On a
+    # shared host that delivers < the session's vCPUs the raw ratio is
+    # capped at (delivered_hi/delivered_lo)/(hi/lo) regardless of
+    # engine quality; this term says what the plan achieved of the
+    # parallelism the host actually handed it.
+    c_lo = r_lo.get("effective_cores")
+    c_hi = r_hi.get("effective_cores")
+    norm = None
+    if c_lo and c_hi and c_hi > c_lo:
+        norm = round((t_lo / t_hi) / (c_hi / c_lo), 3)
     print(json.dumps({
         "metric": "scaling_efficiency",
         f"sec_{lo}": t_lo,
@@ -232,6 +243,7 @@ def _run_scaling() -> None:
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
+        "normalized_efficiency": norm,
         "sf": r_hi["sf"],
     }))
 

@@ -461,3 +461,22 @@ def test_candidate_strategy_group_equals_join(corpus, ray_session):
             f"strategy mismatch at c={base.collision_threshold}: "
             f"{len(g)} vs {len(j)} distinct edge rows"
         )
+
+
+def test_lazy_cap_stats_edges_match_eager(ray_session):
+    """dup_edges with lazy cap stats (the fused group-strategy plan, no
+    capped materialize) must emit exactly the eager plan's edges."""
+    base = "boilerplate " * 100
+    texts = [base + f"tail{i}" for i in range(120)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(120)), "text": pa.array(texts)})
+
+    eager_edges, eager_stats = dup_edges(rd.from_arrow(tbl), CFG, eager_stats=True)
+    lazy_edges, lazy_stats = dup_edges(rd.from_arrow(tbl), CFG, eager_stats=False)
+    assert eager_stats["dropped_band_rows"] > 0
+    assert lazy_stats["dropped_band_rows"] is None
+
+    key = ["a", "b", "hamming"]
+    a = eager_edges.to_pandas().sort_values(key, ignore_index=True)
+    b = lazy_edges.to_pandas().sort_values(key, ignore_index=True)
+    assert a.equals(b)
+    assert len(a) > 0
