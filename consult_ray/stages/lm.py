@@ -78,14 +78,38 @@ def lm_count_partial(
     })
 
 
+_LM_COMBINE_FANIN = 16
+
+
 def train_bigram_lm(docs, width: int, seed: int, text_col: str = "text"):
-    """Pass 1: per-block partials -> merged (C1, C2) arrays. Driver-side
-    fold of width-sized rows; above ~50M-row corpora reuse the chunked
-    tree reduce (pipelines/dedup.py CMS merge) — same associative merge."""
-    parts = docs.map_batches(
-        lambda b: lm_count_partial(b, width, seed, text_col),
-        batch_format="pyarrow",
-    ).take_all()
+    """Pass 1: per-block partials -> merged (C1, C2) arrays. Block
+    partials are pre-summed in worker tasks of fan-in
+    _LM_COMBINE_FANIN before take_all, so the driver folds
+    ~n_blocks/16 width-sized rows instead of one per block (the same
+    bounded-intake shape as the CMS census driver merge,
+    pipelines/dedup.py::_merged_cms_grid); above ~50M-row corpora reuse
+    its chunked tree reduce — same associative merge."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        c1 = np.zeros(width, dtype=np.int64)
+        c2 = np.zeros(width, dtype=np.int64)
+        for b1, b2 in zip(batch["c1"], batch["c2"]):
+            c1 += np.frombuffer(b1.as_py(), dtype=np.int64)
+            c2 += np.frombuffer(b2.as_py(), dtype=np.int64)
+        return pa.table({
+            "c1": pa.array([c1.tobytes()], pa.large_binary()),
+            "c2": pa.array([c2.tobytes()], pa.large_binary()),
+        })
+
+    parts = (
+        docs.map_batches(
+            lambda b: lm_count_partial(b, width, seed, text_col),
+            batch_format="pyarrow",
+        )
+        .map_batches(combine, batch_format="pyarrow",
+                     batch_size=_LM_COMBINE_FANIN)
+        .take_all()
+    )
     c1 = np.zeros(width, dtype=np.int64)
     c2 = np.zeros(width, dtype=np.int64)
     for r in parts:

@@ -646,9 +646,19 @@ def library_bloom(path: str, fpp: float = 0.02) -> tuple[np.ndarray, int, int]:
             )
             return pa.table({"w": pa.array([w.tobytes()], pa.large_binary())})
 
+        def combine(b: pa.Table) -> pa.Table:
+            # OR-fold <= 16 block bit-arrays in a worker task so the
+            # driver receives ~n_blocks/16 words rows, not one per block
+            # (same bounded-intake shape as the CMS census combine)
+            w = bloom_merge(
+                [np.frombuffer(v.as_py(), dtype=np.uint64) for v in b["w"]]
+            )
+            return pa.table({"w": pa.array([w.tobytes()], pa.large_binary())})
+
         blocks = (
             rd.read_parquet(paths, columns=["band_key"], filesystem=fs)
             .map_batches(partial, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow", batch_size=16)
             .take_all()
         )
         words = bloom_merge(
