@@ -11,7 +11,12 @@ INDEPENDENTLY OF THE EXPANSION FACTOR:
     window gets its own salted base text, and within a window
       r % 7 == 0 : the window base            (cluster seed)
       r % 7 == 1 : exact duplicate of it      (must co-cluster)
-      r % 7 == 2 : near duplicate (1-token edit; should co-cluster)
+      r % 7 == 2 : near duplicate (1-token edit; co-clusters when the
+                   doc is long enough that the fixed ~35-byte shingle
+                   delta stays inside the LSH collision curve — ~0.9
+                   recall at >=400 chars, falling for shorter docs,
+                   which correctly read as below-threshold; measured
+                   and pinned in tests/test_benchgen.py)
       otherwise  : unique-ified (per-doc salt tokens every 4th position
                    so shingle windows break everywhere — a prefix alone
                    leaves the body's shingle set intact and LSH correctly
