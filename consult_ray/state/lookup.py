@@ -208,7 +208,14 @@ def classify_queries(
     """Semi/anti-join classification of a query stream against a corpus.
     Returns queries + matched/match_count/match_doc columns; filter on
     `matched` for the semi side, `~matched` for the anti side (the
-    ucseq_ unclassified-output analog, main_search.cpp:728,1021-1041)."""
+    ucseq_ unclassified-output analog, main_search.cpp:728,1021-1041).
+
+    Queries and corpus share one id space: a candidate whose corpus
+    doc_id EQUALS the probing query's doc_id is skipped as an identity
+    match, so the corpus can classify itself without trivial self-hits.
+    Query streams keyed independently of the corpus must use ids
+    disjoint from corpus ids (e.g. the url-hash assignment stage) or a
+    same-id corpus doc is silently not a match."""
     table_ref = ray.put(build_band_table(corpus, cfg))
     return queries.map_batches(
         BandLookupActor,
