@@ -242,7 +242,13 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         assert args.library, "--library required for ingest"
-        if not os.path.exists(os.path.join(args.library, "_SUCCESS")):
+        # existence must go through the fs layer: --library may be an
+        # object-store URI, where os.path.exists is always False and
+        # would re-init (wipe) the resident library on every run
+        from consult_ray.state import fsio
+
+        _fs, _root = fsio.resolve_fs(args.library)
+        if not fsio.exists(_fs, fsio.join(_root, "_SUCCESS")):
             init_band_library(
                 args.library, cfg, num_partitions=args.library_partitions
             )

@@ -157,35 +157,61 @@ def connected_components_distributed(
 
         fs, ckroot = fsio.resolve_fs(checkpoint_dir)
         fsio.mkdirs(fs, ckroot)
-        done = []
+        # round -> labels data dir; new format (cc_round_<i>.json naming
+        # a generation-unique dir) and the legacy pre-manifest format
+        # (a cc_round_<i>/ dir holding _SUCCESS + _meta.json with the
+        # same label_sum witness) both count as committed progress
+        done: dict[int, str] = {}
         referenced = set()
         for f in fsio.list_files(fs, ckroot):
             m = re.fullmatch(r"cc_round_(\d+)\.json", f)
             if m:
-                done.append(int(m.group(1)))
-                referenced.add(
-                    fsio.read_json(fs, fsio.join(ckroot, f))["data"]
-                )
-        # sweep data dirs no manifest names (crashed/superseded writes)
+                data = fsio.read_json(fs, fsio.join(ckroot, f))["data"]
+                done[int(m.group(1))] = data
+                referenced.add(data)
+        legacy = set()
         try:
             for i in fs.get_file_info(pafs.FileSelector(ckroot, recursive=False)):
                 base = posixpath.basename(i.path)
+                m = re.fullmatch(r"cc_round_(\d+)", base)
                 if (
                     i.type == pafs.FileType.Directory
-                    and base.startswith("cc_round_")
-                    and base not in referenced
+                    and m
+                    and fsio.exists(fs, fsio.join(i.path, "_SUCCESS"))
                 ):
+                    legacy.add(base)
+                    done.setdefault(int(m.group(1)), base)
+        except Exception:
+            pass
+        # sweep only GENERATION-SUFFIXED data dirs no manifest names
+        # (crashed/superseded writes of THIS format) and legacy .tmp
+        # leftovers; exact-named legacy round dirs are committed state
+        try:
+            for i in fs.get_file_info(pafs.FileSelector(ckroot, recursive=False)):
+                base = posixpath.basename(i.path)
+                if i.type != pafs.FileType.Directory:
+                    continue
+                stale_gen = (
+                    re.fullmatch(r"cc_round_\d+-[0-9a-f]+", base)
+                    and base not in referenced
+                )
+                if stale_gen or (base.startswith("cc_round_") and ".tmp-" in base):
                     fs.delete_dir(i.path)
         except Exception:
             pass
-        done.sort()
         if done:
-            last = done[-1]
-            meta = fsio.read_json(
-                fs, fsio.join(ckroot, f"cc_round_{last}.json")
-            )
+            last = max(done)
+            data = done[last]
+            if data in legacy:
+                meta = fsio.read_json(
+                    fs, fsio.join(ckroot, data, "_meta.json")
+                )
+            else:
+                meta = fsio.read_json(
+                    fs, fsio.join(ckroot, f"cc_round_{last}.json")
+                )
             labels = rd.read_parquet(
-                fsio.join(ckroot, meta["data"]), filesystem=fs
+                fsio.join(ckroot, data), filesystem=fs
             )
             # the next round compares against the sum AFTER the resumed
             # round (the loop's prev_sum = cur assignment)

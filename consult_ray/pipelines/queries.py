@@ -386,27 +386,45 @@ def q_band_occupancy_hist(sf_dir: str):
     return hist.map_batches(finalize, batch_format="pyarrow")
 
 
+# per-process cache of the corpus-half band library the lookup queries
+# probe: building it is the expensive half of those queries, and a
+# fresh mkdtemp per call both rebuilds it every invocation and leaks
+# corpus-scale parquet under /tmp. One build per (sf_dir) per process,
+# removed at interpreter exit. Process-private paths cannot race a
+# concurrent invocation (each process builds its own copy).
+_LIB_CACHE: dict[str, str] = {}
+
+
+def _corpus_half_library(sf_dir: str, docs, n: int) -> str:
+    from consult_ray.state.library import save_band_library
+
+    lib = _LIB_CACHE.get(sf_dir)
+    if lib is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        lib = tempfile.mkdtemp(prefix="consult_ray_lib_")
+        atexit.register(shutil.rmtree, lib, ignore_errors=True)
+        save_band_library(
+            docs.filter(expr=f"doc_id < {n // 2}"), CFG, lib, num_partitions=8
+        )
+        _LIB_CACHE[sf_dir] = lib
+    return lib
+
+
 def q_lookup_classify_lib(sf_dir: str):
     """Persistent-library variant of lookup_classify (S7/S8): the band
     table is built ONCE from the corpus half, saved to disk partitioned
     by band-key range, and the probe side loads only the partition that
     owns each key range — no full-table broadcast. Must produce the
     same classifications as `lookup_classify` (pytest-asserted)."""
-    import tempfile
-
-    from consult_ray.state.library import (
-        classify_queries_partitioned,
-        save_band_library,
-    )
+    from consult_ray.state.library import classify_queries_partitioned
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n = docs.count()
-    corpus = docs.filter(expr=f"doc_id < {n // 2}")
     queries_ds = docs.filter(expr=f"doc_id >= {n // 2}")
-    # per-run scratch path: a shared content-keyed location lets a
-    # concurrent invocation race the save's swap window
-    lib = tempfile.mkdtemp(prefix="consult_ray_lib_")
-    save_band_library(corpus, CFG, lib, num_partitions=8)
+    lib = _corpus_half_library(sf_dir, docs, n)
     out = classify_queries_partitioned(queries_ds, lib, CFG)
     return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])
 
@@ -419,19 +437,13 @@ def q_lookup_classify_bloom(sf_dir: str):
     path (pytest-asserted in tests/test_bloom.py); the gain at scale is
     novel-heavy probe streams skipping partition loads entirely."""
     import dataclasses
-    import tempfile
 
-    from consult_ray.state.library import (
-        classify_queries_partitioned,
-        save_band_library,
-    )
+    from consult_ray.state.library import classify_queries_partitioned
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n = docs.count()
-    corpus = docs.filter(expr=f"doc_id < {n // 2}")
     queries_ds = docs.filter(expr=f"doc_id >= {n // 2}")
-    lib = tempfile.mkdtemp(prefix="consult_ray_lib_")
-    save_band_library(corpus, CFG, lib, num_partitions=8)
+    lib = _corpus_half_library(sf_dir, docs, n)
     cfg = dataclasses.replace(CFG, probe_bloom_prefilter=True)
     out = classify_queries_partitioned(queries_ds, lib, cfg)
     return out.select_columns(["doc_id", "matched", "match_count", "match_doc"])

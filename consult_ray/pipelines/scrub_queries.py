@@ -158,7 +158,16 @@ def q_decontaminate(sf_dir: str):
     benchmark snippet (a fixed 40-byte slice of each doc_id%97==1 doc).
     Scan = batch rolling-hash windows vs the broadcast sorted snippet
     hash set (8 B/snippet on the wire), exact substring verify on
-    flagged docs only. SQL-checked against DuckDB EXISTS/contains."""
+    flagged docs only. SQL-checked against DuckDB EXISTS/contains.
+
+    The snippet set is restricted to ASCII-only docs so the 40-CHAR
+    slice here (and in the char-based SQL) is exactly the 40 BYTES one
+    rolling-hash window covers — without the gate a multi-byte char in
+    the slice would trip snippet_window_hashes' byte-width assert and
+    the byte-window scan would diverge from the char-based oracle.
+    (Scanned documents themselves need no gate: an ASCII snippet can
+    never equal a window that splits a multi-byte char, because
+    continuation bytes are >= 0x80.)"""
     import ray
 
     from consult_ray.stages.scrub import ContaminationScanner
@@ -170,7 +179,10 @@ def q_decontaminate(sf_dir: str):
 
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array((ids % _DECON_MOD == 1) & (lens >= 50)))
+        blens = pc.binary_length(batch["text"]).to_numpy(zero_copy_only=False)
+        t = batch.filter(
+            pa.array((ids % _DECON_MOD == 1) & (lens >= 50) & (lens == blens))
+        )
         return pa.table({"s": pc.utf8_slice_codeunits(t["text"], 10, 50)})
 
     # benchmark set: tiny by construction (1/97 of the corpus); at scale
@@ -189,7 +201,8 @@ def q_decontaminate(sf_dir: str):
 
 _SQL_DECON = (
     "WITH snip AS (SELECT substring(text, 11, 40) AS s FROM documents "
-    f"WHERE doc_id % {_DECON_MOD} = 1 AND length(text) >= 50) "
+    f"WHERE doc_id % {_DECON_MOD} = 1 AND length(text) >= 50 "
+    "AND strlen(text) = length(text)) "
     "SELECT d.doc_id, EXISTS (SELECT 1 FROM snip WHERE contains(d.text, snip.s)) "
     "AS contaminated FROM documents d"
 )

@@ -427,11 +427,18 @@ def q_pipeline_lineage(sf_dir: str):
     from consult_ray.pipelines.checkpointed import CheckpointedDedupPipeline
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # fresh workdir per call — reuse would flip `skipped` to True; the
+    # result is fully materialized below, so the dir is removed eagerly
     wd = tempfile.mkdtemp(prefix="consult_ray_lineage_")
-    pipe = CheckpointedDedupPipeline(wd, CFG)
-    pipe.run(docs)
-    t = pipe.lineage_table().select(["stage", "rows_out", "skipped"])
-    return t.to_pandas().sort_values("stage", ignore_index=True)
+    try:
+        pipe = CheckpointedDedupPipeline(wd, CFG)
+        pipe.run(docs)
+        t = pipe.lineage_table().select(["stage", "rows_out", "skipped"])
+        return t.to_pandas().sort_values("stage", ignore_index=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 TRAIN_QUERIES = {

@@ -55,9 +55,24 @@ def mkdirs(fs: pafs.FileSystem, path: str) -> None:
 
 
 def write_json(fs: pafs.FileSystem, path: str, obj) -> None:
-    """Single-object write — the commit-point primitive."""
-    with fs.open_output_stream(path) as f:
-        f.write(json.dumps(obj).encode())
+    """Single-object write — the commit-point primitive.
+
+    Object stores give atomicity for free (a PUT is all-or-nothing).
+    LocalFileSystem does NOT — open_output_stream truncates in place,
+    so a crash mid-write would tear the manifest the previous snapshot
+    depends on. There the write goes to a temp name in the same
+    directory and is published with one rename (POSIX-atomic replace)."""
+    payload = json.dumps(obj).encode()
+    if isinstance(fs, pafs.LocalFileSystem):
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with fs.open_output_stream(tmp) as f:
+            f.write(payload)
+        fs.move(tmp, path)
+    else:
+        with fs.open_output_stream(path) as f:
+            f.write(payload)
 
 
 def read_json(fs: pafs.FileSystem, path: str):

@@ -480,3 +480,51 @@ def test_lazy_cap_stats_edges_match_eager(ray_session):
     b = lazy_edges.to_pandas().sort_values(key, ignore_index=True)
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_cc_resumes_from_legacy_round_dirs(ray_session, tmp_path):
+    """Pre-manifest-migration checkpoints (cc_round_<i>/ dirs holding
+    _SUCCESS + _meta.json) are committed progress: the resume scan must
+    read them — not sweep them — and continue from the next round."""
+    import json
+    import os
+    import re
+    import shutil
+
+    n = 600
+    edges = pa.table({
+        "a": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "b": pa.array(np.arange(1, n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(edges).repartition(6).materialize()
+
+    # reference run (new format) to harvest a round-0 label snapshot
+    ref_dir = str(tmp_path / "ref")
+    r_ref = connected_components(
+        ds, CFG, mode="distributed", checkpoint_dir=ref_dir
+    ).to_pandas()
+    marks = sorted(
+        x for x in os.listdir(ref_dir) if re.fullmatch(r"cc_round_\d+\.json", x)
+    )
+    assert len(marks) >= 2, "path graph must need multiple rounds"
+    with open(os.path.join(ref_dir, "cc_round_0.json")) as f:
+        m0 = json.load(f)
+
+    # forge the legacy layout: exact-named dir, parquet + meta + marker
+    leg_root = tmp_path / "legacy"
+    leg_root.mkdir()
+    leg0 = leg_root / "cc_round_0"
+    shutil.copytree(os.path.join(ref_dir, m0["data"]), leg0)
+    with open(leg0 / "_meta.json", "w") as f:
+        json.dump({"round": 0, "label_sum_before": None,
+                   "label_sum": m0["label_sum"]}, f)
+    open(leg0 / "_SUCCESS", "w").close()
+
+    r2 = connected_components(
+        ds, CFG, mode="distributed", checkpoint_dir=str(leg_root)
+    ).to_pandas()
+    assert dict(zip(r_ref.node, r_ref.label)) == dict(zip(r2.node, r2.label))
+    # the legacy dir survived the sweep and round 0 was NOT recomputed
+    assert (leg0 / "_SUCCESS").exists()
+    assert not (leg_root / "cc_round_0.json").exists()
+    assert (leg_root / "cc_round_1.json").exists()

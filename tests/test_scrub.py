@@ -147,3 +147,49 @@ def test_remove_frequent_lines_edge_cases():
     assert by_id[7]["text_clean"] == "a b" and by_id[7]["n_kept"] == 1
     # row order follows the input batch
     assert out["doc_id"].to_pylist() == [7, 3]
+
+
+def test_decontaminate_nonascii_corpus_matches_oracle(ray_session, tmp_path):
+    """A multi-byte char inside a benchmark doc's snippet window used to
+    crash the scanner (40 CHARS sliced, 40 BYTES asserted). The ASCII
+    gate must drop that doc from the snippet set — identically in the
+    Ray kernel and the SQL oracle — while non-ASCII docs still scan."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from consult_ray.pipelines.scrub_queries import (
+        SCRUB_ORACLE_SQL,
+        q_decontaminate,
+    )
+
+    ascii_s = "A quick brown fox jumps over the lazy dog near a riverbank!"
+    uni_s = "Ein Käfer läuft über die Straße — größer als üblich heute ja."
+    assert len(uni_s) >= 50 and len(uni_s.encode()) != len(uni_s)
+    docs = pa.table({
+        # doc_id % 97 == 1 marks benchmark docs: 1 is non-ASCII (must be
+        # gated OUT of the snippet set), 98 is ASCII (stays in)
+        "doc_id": pa.array([1, 98, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            uni_s,
+            ascii_s,
+            "prefix " + ascii_s[10:50] + " suffix",   # contains snippet
+            "clean doc with no benchmark overlap at all, long enough.",
+            "also contains " + uni_s[10:50] + " but that snippet is gated",
+        ]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    got = q_decontaminate(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(SCRUB_ORACLE_SQL["decontaminate"]).df()
+    got = got.sort_values("doc_id", ignore_index=True)
+    want = want.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    flags = dict(zip(got.doc_id, got.contaminated))
+    assert flags[98] and flags[2], "ASCII snippet must still flag"
+    assert not flags[4], "gated non-ASCII snippet must not flag"

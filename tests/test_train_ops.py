@@ -171,3 +171,39 @@ def test_scorer_batch_split_invariant():
 def test_weights_deterministic():
     assert np.array_equal(make_weights(256, 1), make_weights(256, 1))
     assert not np.array_equal(make_weights(256, 1), make_weights(256, 2))
+
+
+def test_extract_hrefs_matches_regex_on_adversarial_html():
+    """Regex-parity on the automaton cases the vectorized fast path
+    cannot see: an href value holding `href=` right before its closing
+    quote, unterminated captures closed by the NEXT separator's own
+    quote, and the skipped fragment that follows them."""
+    import random
+    import re
+
+    rx = re.compile(r'href="([^"]*)"')
+    # the review's concrete repro: regex captures 'abc href=' (closed by
+    # the second separator's trailing quote), never 'def'
+    links, rows = extract_hrefs(pa.array(['<a href="abc href="def">']))
+    assert links.to_pylist() == ["abc href="]
+    assert rows.tolist() == [0]
+    # skipped-fragment case: the text after the consumed quote is plain
+    links, _ = extract_hrefs(pa.array(['x href="a href="b"c" href="d"']))
+    assert links.to_pylist() == ["a href=", "d"]
+
+    rnd = random.Random(7)
+    pieces = ['href="', '"', "a", "<a ", "def", " x ", "href=", ">", ""]
+    for _ in range(400):
+        rows_in = [
+            "".join(rnd.choice(pieces) for _ in range(rnd.randint(0, 12)))
+            for _ in range(rnd.randint(0, 6))
+        ]
+        if rnd.random() < 0.15:
+            rows_in.append(None)
+        got_links, got_rows = extract_hrefs(pa.array(rows_in, pa.string()))
+        got = {}
+        for l, r in zip(got_links.to_pylist(), got_rows.tolist()):
+            got.setdefault(r, []).append(l)
+        for i, row in enumerate(rows_in):
+            want = rx.findall(row) if row is not None else []
+            assert got.get(i, []) == want, (row, want, got.get(i, []))
