@@ -13,6 +13,9 @@ RAY_GRAFT_CPUS=8 and 32 on identical input and reports both throughputs
 plus efficiency = (t8/t32)/(32/8) — the sandbox substitute for the
 north_rule's N vs 4N node cluster comparison (BASELINE.md).
 
+--legs-report: summarize accumulated --legs samples into the scaling
+ladder (per-level minima, pairwise + weather-normalized efficiencies).
+
 --legs: opportunistic probe-gated single-leg sampler. The shared host
 delivers a minute-to-minute varying fraction of its advertised vCPUs
 (BASELINE.md weather methodology), so a blind --scaling run measures
@@ -276,6 +279,64 @@ def _run_scaling() -> None:
     }))
 
 
+def _legs_report() -> None:
+    """Summarize accumulated --legs samples (GRAFT_LEGS_OUT) into the
+    scaling ladder: per-CPU-level minima (the noise-robust capability
+    estimate under one-sided host steal), every pairwise efficiency
+    (t_lo/t_hi)/(hi/lo), and the weather-normalized variant that divides
+    the raw speedup by the legs' delivered-core probe ratio. Prints one
+    JSON line; BASELINE.md quotes its output so the record is
+    reproducible from the artifact."""
+    out_path = os.environ.get("GRAFT_LEGS_OUT", "/tmp/scaling_legs.jsonl")
+    recs = []
+    with open(out_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                recs.append(json.loads(line))
+    # legs from different corpora are not comparable: ladder only the
+    # requested corpus (GRAFT_LEGS_NDOCS), default the largest sampled
+    sizes = sorted({int(r.get("n_docs") or 0) for r in recs})
+    want = int(os.environ.get("GRAFT_LEGS_NDOCS", sizes[-1] if sizes else 0))
+    recs = [r for r in recs if int(r.get("n_docs") or 0) == want]
+    levels: dict[int, list[dict]] = {}
+    for r in recs:
+        levels.setdefault(int(r["num_cpus"]), []).append(r)
+    best = {c: min(rs, key=lambda r: r["value"]) for c, rs in levels.items()}
+    pairs = {}
+    for lo in sorted(best):
+        for hi in sorted(best):
+            if hi <= lo:
+                continue
+            t_lo, t_hi = best[lo]["value"], best[hi]["value"]
+            eff = (t_lo / t_hi) / (hi / lo)
+            c_lo = best[lo].get("effective_cores")
+            c_hi = best[hi].get("effective_cores")
+            norm = (
+                round((t_lo / t_hi) / (c_hi / c_lo), 3)
+                if c_lo and c_hi and c_hi > c_lo
+                else None
+            )
+            pairs[f"{lo}v{hi}"] = {
+                "efficiency": round(eff, 3),
+                "normalized": norm,
+                "probe_cores": [c_lo, c_hi],
+            }
+    print(json.dumps({
+        "metric": "scaling_legs_ladder",
+        "n_samples": {c: len(rs) for c, rs in sorted(levels.items())},
+        "best_sec": {c: best[c]["value"] for c in sorted(best)},
+        "best_docs_per_sec": {c: best[c]["docs_per_sec"] for c in sorted(best)},
+        "best_probe_cores": {
+            c: best[c].get("effective_cores") for c in sorted(best)
+        },
+        "pairwise": pairs,
+        "n_docs": want,
+        "other_corpora_sampled": [n for n in sizes if n != want],
+        "sf": recs[0].get("sf") if recs else None,
+    }))
+
+
 def _run_legs() -> None:
     """Probe-gated opportunistic sampling (see module docstring)."""
     out_path = os.environ.get("GRAFT_LEGS_OUT", "/tmp/scaling_legs.jsonl")
@@ -342,7 +403,9 @@ def _run_legs() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--legs-report" in sys.argv:
+        _legs_report()
+    elif "--scaling" in sys.argv:
         _run_scaling()
     elif "--legs" in sys.argv:
         _run_legs()
