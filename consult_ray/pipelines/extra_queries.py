@@ -349,6 +349,26 @@ def q_events_asof_order(sf_dir: str):
     )
 
 
+def q_events_range_1h(sf_dir: str):
+    """Range/interval join (the third temporal-join shape next to the
+    as-of join and the sliding window): per event, how many events the
+    same user produced within +-1 hour — a burst-activity feature. Self
+    range join, anchor row included in its own count (mirrored in the
+    SQL). Bucketed band-join plan — see operators.range_join_count for
+    the partitioning story. (events x orders would be degenerate here:
+    the sf events stream is 2024, orders end in 2001.)"""
+    from consult_ray.pipelines.operators import range_join_count
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return range_join_count(
+        events, events, CFG,
+        on="user_id", right_on="user_id",
+        left_ts="ts", right_ts="ts",
+        window_us=3600 * 1_000_000,
+        left_keep=("event_id",),
+    )
+
+
 # --- dedup-family variants with SQL oracles --------------------------
 
 def q_ngram_jaccard_doc0(sf_dir: str):
@@ -1032,6 +1052,7 @@ EXTRA_QUERIES = {
     "distinct_users_daily": q_distinct_users_daily,
     "top_users_by_value": q_top_users_by_value,
     "events_asof_order": q_events_asof_order,
+    "events_range_1h": q_events_range_1h,
     "events_sliding_3h": q_events_sliding_3h,
     "ngram_jaccard_doc0": q_ngram_jaccard_doc0,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1096,6 +1117,12 @@ EXTRA_ORACLE_SQL = {
         "SELECT e.event_id, o.o_orderdate AS asof_date "
         "FROM events e ASOF JOIN orders o "
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "events_range_1h": (
+        "SELECT e.event_id, CAST(count(o.user_id) AS BIGINT) AS n_window "
+        "FROM events e LEFT JOIN events o ON e.user_id = o.user_id "
+        "AND o.ts BETWEEN e.ts - INTERVAL 1 HOUR "
+        "AND e.ts + INTERVAL 1 HOUR GROUP BY e.event_id"
     ),
     "events_sliding_3h": (
         "SELECT event_type, hour, n, CAST(sum(n) OVER ("

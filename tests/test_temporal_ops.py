@@ -75,6 +75,58 @@ def test_distinct_count_matches_pandas(ray_session):
     assert got == want.to_dict()
 
 
+def test_range_join_count_hand_case(ray_session):
+    """Bucket-boundary cases for the banded range join: 10:00 and 11:00
+    sit in different hour buckets but are exactly W apart (inclusive
+    boundary must count them); 12:01 is 61min from 11:00 (must not)."""
+    from consult_ray.pipelines.operators import range_join_count
+
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": _ts("2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 11:00",
+                  "2024-01-01 12:01", "2024-01-01 10:00"),
+    })
+    ds = rd.from_arrow(tbl)
+    out = range_join_count(
+        ds, ds, CFG, on="user_id", right_on="user_id",
+        left_ts="ts", right_ts="ts", window_us=3600 * 1_000_000,
+        left_keep=("event_id",),
+    ).to_pandas()
+    got = dict(zip(out.event_id, out.n_window))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 1, 4: 1}
+
+
+def test_range_join_count_matches_bruteforce(ray_session):
+    """Randomized check vs an all-pairs pandas count, timestamps drawn
+    dense enough that many pairs straddle bucket edges."""
+    from consult_ray.pipelines.operators import range_join_count
+
+    rng = np.random.default_rng(5)
+    n = 300
+    W_s = 900  # 15-minute window
+    left = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 8, n),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s"),
+    })
+    out = range_join_count(
+        rd.from_pandas(left), rd.from_pandas(left), CFG,
+        on="user_id", right_on="user_id", left_ts="ts", right_ts="ts",
+        window_us=W_s * 1_000_000, left_keep=("event_id",),
+    ).to_pandas().sort_values("event_id", ignore_index=True)
+
+    t = left.ts.to_numpy().astype("datetime64[us]").view(np.int64)
+    k = left.user_id.to_numpy()
+    want = np.array([
+        int(((k == k[i]) & (np.abs(t - t[i]) <= W_s * 1_000_000)).sum())
+        for i in range(n)
+    ])
+    assert len(out) == n
+    assert (out.n_window.to_numpy() == want).all()
+
+
 def test_minimizer_kernel_unicode():
     """Char-window minimizer must match per-character brute force even on
     multibyte text (code-point windows, not byte windows)."""
