@@ -251,7 +251,13 @@ def range_join_count(
     count 0 (LEFT-join semantics) and the output has len(left) rows.
     Partitioning assumption: group size is bounded by one key's rows in
     a 3-window span — skew rides the hottest (key, bucket), not the
-    hottest key (the advantage over asof_join's whole-key groups)."""
+    hottest key (the advantage over asof_join's whole-key groups).
+
+    Key and left_keep columns may be any Arrow type (string url keys
+    included): the right side emits no keep columns at all — the union's
+    schema unification null-fills them with the LEFT side's types. The
+    two key columns must share one Arrow type (always true for the
+    self-join uses; a cross-table mismatch fails loudly at the sort)."""
     W = np.int64(window_us)
     lcols = [on, left_ts, *left_keep]
 
@@ -263,7 +269,7 @@ def range_join_count(
     def tag_left(batch: pa.Table) -> pa.Table:
         t = _ts_i64(batch[left_ts])
         cols = {
-            "k": batch[on].cast(pa.int64()),
+            "k": batch[on],
             "bkt": pa.array(np.floor_divide(t, W)),
             "ts": pa.array(t),
             "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
@@ -275,19 +281,16 @@ def range_join_count(
     def tag_right(batch: pa.Table) -> pa.Table:
         t = _ts_i64(batch[right_ts])
         b = np.floor_divide(t, W)
-        k = batch[right_on].cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = len(t)
-        rep = np.repeat(np.arange(n, dtype=np.int64), 3)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), 3))
         cols = {
-            "k": pa.array(k[rep]),
+            "k": batch[right_on].combine_chunks().take(rep),
             "bkt": pa.array(np.repeat(b, 3) + np.tile(
                 np.array([-1, 0, 1], dtype=np.int64), n
             )),
-            "ts": pa.array(t[rep]),
+            "ts": pa.array(np.repeat(t, 3)),
             "side": pa.array(np.ones(3 * n, dtype=np.int8)),
         }
-        for c in left_keep:
-            cols[c] = pa.nulls(3 * n, pa.int64())
         return pa.table(cols)
 
     both = left.select_columns(lcols).map_batches(

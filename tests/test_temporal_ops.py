@@ -97,6 +97,27 @@ def test_range_join_count_hand_case(ray_session):
     assert got == {0: 3, 1: 3, 2: 3, 3: 1, 4: 1}
 
 
+def test_range_join_count_string_keys(ray_session):
+    """The union schema must follow the LEFT schema: string (url-shaped)
+    keys and string keep columns work without an int cast."""
+    from consult_ray.pipelines.operators import range_join_count
+
+    tbl = pa.table({
+        "url": pa.array(["a/0", "a/1", "a/2", "b/0"], pa.string()),
+        "host": pa.array(["h1", "h1", "h1", "h2"], pa.string()),
+        "ts": _ts("2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 12:01",
+                  "2024-01-01 10:00"),
+    })
+    ds = rd.from_arrow(tbl)
+    out = range_join_count(
+        ds, ds, CFG, on="host", right_on="host",
+        left_ts="ts", right_ts="ts", window_us=3600 * 1_000_000,
+        left_keep=("url",),
+    ).to_pandas()
+    got = dict(zip(out.url, out.n_window))
+    assert got == {"a/0": 2, "a/1": 2, "a/2": 1, "b/0": 1}
+
+
 def test_range_join_count_matches_bruteforce(ray_session):
     """Randomized check vs an all-pairs pandas count, timestamps drawn
     dense enough that many pairs straddle bucket edges."""
