@@ -388,3 +388,126 @@ def assign_clusters(
         return pa.table(out)
 
     return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def pagerank(
+    edges: Dataset,
+    cfg: PipelineConfig,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    scale: int = 10**12,
+    out_col: str = "pr",
+) -> Dataset:
+    """Integer-arithmetic PageRank over a DISTINCT (src, dst) string-key
+    edge table — the domain-authority score a crawl pipeline feeds into
+    frontier prioritization and domain-level quality weighting (the
+    second iterative graph operator next to connected_components; the
+    reference stops at per-read membership, main_search.cpp:1021-1045).
+
+    All arithmetic is int64 floor division on a fixed-point scale, so
+    results are bit-exact reproducible across retries/shards AND exactly
+    mirrorable in SQL (the repo's integer-money oracle convention):
+
+        R0[v]     = scale // N
+        R_t+1[v]  = (15*scale) // (100*N) + (85 * S_v) // 100
+        S_v       = sum over edges (s, v) of R_t[s] // outdeg[s]
+
+    (damping 0.85; dangling mass is dropped, the documented
+    simplification — both sides mirror it.)
+
+    Plan: the edge table is assumed deduped (distinct pairs) and is read
+    `iters` times; node census (host, outdeg) collects ONCE to the
+    driver — per-node state is the same driver bound every census
+    operator here carries (~10^8 hosts = a few GB; beyond that the
+    round update becomes an edges⋈ranks hash join, not this path). Per
+    round, the per-source contribution array broadcasts via ray.put
+    keyed by sorted 63-bit host hashes (stages/ids.hash_keys — collision
+    - audited below), each edge batch emits per-batch (dst, partial)
+    sums via searchsorted gather, and ONE groupby(dst) of <= N rows
+    returns to the driver. Text/html never moves; shuffle rows are
+    (host, int64).
+    """
+    import ray
+
+    from consult_ray.stages.ids import hash_keys
+    from consult_ray.util import grouped
+
+    e = edges.select_columns([src_col, dst_col]).materialize()
+
+    def one_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "h": batch[src_col],
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return grouped(t, ["h"], [("one", "sum")], ["outdeg"])
+
+    deg = (
+        e.map_batches(one_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("outdeg", alias_name="outdeg"))
+        .to_pandas()
+    )
+    def dst_partial(batch: pa.Table) -> pa.Table:
+        u = batch[dst_col].combine_chunks().unique()
+        return pa.table({
+            "h": u, "one": pa.array(np.ones(len(u), dtype=np.int64)),
+        })
+
+    dsts = (
+        e.select_columns([dst_col])
+        .map_batches(dst_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("one", alias_name="one"))
+        .to_pandas()
+    )
+    hosts = np.unique(np.concatenate([
+        deg["h"].to_numpy(dtype=object), dsts["h"].to_numpy(dtype=object)
+    ]).astype(str))
+    n = len(hosts)
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            out_col: pa.array([], pa.int64()),
+        }))
+
+    hostcol = pa.array(hosts, pa.string())
+    hid = hash_keys(hostcol)
+    order = np.argsort(hid)
+    if len(np.unique(hid)) != n:  # 63-bit birthday audit (ids.py bound)
+        raise ValueError("host-id hash collision; rerun with a new seed")
+    outdeg = np.zeros(n, dtype=np.int64)
+    deg_idx = np.searchsorted(hid[order], hash_keys(pa.array(deg["h"], pa.string())))
+    outdeg[order[deg_idx]] = deg["outdeg"].to_numpy(dtype=np.int64)
+
+    teleport = np.int64((15 * scale) // (100 * n))
+    r = np.full(n, scale // n, dtype=np.int64)
+
+    for _ in range(iters):
+        contrib = np.where(outdeg > 0, r // np.maximum(outdeg, 1), 0)
+        ref = ray.put((hid[order], contrib[order]))
+
+        def round_partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            ids_sorted, c_sorted = ray.get(_ref)
+            sidx = np.searchsorted(ids_sorted, hash_keys(batch[src_col]))
+            t = pa.table({
+                "dst": batch[dst_col],
+                "c": pa.array(c_sorted[sidx]),
+            })
+            return grouped(t, ["dst"], [("c", "sum")], ["c"])
+
+        agg = (
+            e.map_batches(round_partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        s = np.zeros(n, dtype=np.int64)
+        if len(agg):
+            didx = np.searchsorted(
+                hid[order], hash_keys(pa.array(agg["dst"], pa.string()))
+            )
+            s[order[didx]] = agg["c"].to_numpy(dtype=np.int64)
+        r = teleport + (np.int64(85) * s) // np.int64(100)
+
+    return rd.from_arrow(pa.table({"host": hostcol, out_col: pa.array(r)}))

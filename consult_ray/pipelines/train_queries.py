@@ -140,6 +140,83 @@ _SQL_LINKS = (
 )
 
 
+# --- domain-graph PageRank ----------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 10
+
+
+def q_host_pagerank(sf_dir: str):
+    """Domain-authority PageRank over the outlink host graph (source
+    host -> linked host, distinct pairs): 10 rounds of the
+    integer-arithmetic power iteration in pipelines/cluster.pagerank —
+    bit-exact vs the oracle's 10 unrolled CTE rounds. Edge derivation
+    reuses the pages_links href kernel and is mirrored in SQL."""
+    from ray.data.aggregate import Sum
+
+    from consult_ray.pipelines.cluster import pagerank
+    from consult_ray.stages.weblinks import extract_hrefs, link_host
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        html = _decorate_link_html(batch)["html"]
+        links, row_ids = extract_hrefs(html)
+        src = batch["source"].cast(pa.string()).combine_chunks().take(
+            pa.array(row_ids)
+        )
+        t = pa.table({"src": src, "dst": link_host(links)})
+        t = t.filter(pc.not_equal(t["dst"], ""))
+        # per-batch distinct so the dedup shuffle moves unique pairs
+        t = t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    e = (
+        docs.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("one", alias_name="one"))
+        .select_columns(["src", "dst"])
+    )
+    return pagerank(e, CFG, iters=_PR_ITERS, scale=_PR_SCALE)
+
+
+def _pagerank_sql() -> str:
+    base = (
+        f"WITH m AS (SELECT doc_id, source, {_SQL_LINK_HTML} AS html "
+        "FROM documents), "
+        "l AS (SELECT source, unnest(regexp_extract_all(html, "
+        "'href=\"([^\"]*)\"', 1)) AS link FROM m), "
+        "hh AS (SELECT CAST(source AS VARCHAR) AS src, "
+        "COALESCE(regexp_extract(link, '^[a-z]+://([^/]*)', 1), '') AS dst "
+        "FROM l), "
+        "e AS (SELECT DISTINCT src, dst FROM hh WHERE dst <> ''), "
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e), "
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes), "
+        "deg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM e GROUP BY src), "
+        f"r0 AS (SELECT host, CAST({_PR_SCALE} // (SELECT n FROM nn) "
+        "AS BIGINT) AS rank FROM nodes)"
+    )
+    step = (
+        ", r{K} AS (SELECT nd.host, CAST("
+        f"(15 * {_PR_SCALE}) // (100 * (SELECT n FROM nn))"
+        " + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank "
+        "FROM nodes nd LEFT JOIN ("
+        "SELECT e.dst AS host, SUM(p.rank // d.outdeg) AS c "
+        "FROM e JOIN r{P} p ON p.host = e.src "
+        "JOIN deg d ON d.src = e.src GROUP BY e.dst) s USING (host))"
+    )
+    parts = [base]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(step.format(K=k, P=k - 1))
+    parts.append(f" SELECT host, rank AS pr FROM r{_PR_ITERS}")
+    return "".join(parts)
+
+
+_SQL_PAGERANK = _pagerank_sql()
+
+
 # --- model-inference quality gate ---------------------------------------
 
 def q_quality_classifier(sf_dir: str):
@@ -451,12 +528,14 @@ TRAIN_QUERIES = {
     "lm_score": q_lm_score,
     "pack_sequences": q_pack_sequences,
     "pages_links": q_pages_links,
+    "host_pagerank": q_host_pagerank,
     "quality_classifier": q_quality_classifier,
 }
 
 TRAIN_ORACLE_SQL = {
     "pack_sequences": _SQL_PACK,
     "pages_links": _SQL_LINKS,
+    "host_pagerank": _SQL_PAGERANK,
     "docs_from_fasta": _SQL_FASTA,
     "docs_from_fastq": _SQL_FASTQ,
     "quality_features": _SQL_QUALITY_FEATURES,

@@ -197,3 +197,32 @@ def test_hll_approx_distinct_within_3pct(ray_session):
     assert list(exact.day) == list(approx.day)
     rel = np.abs(approx.n_users_approx - exact.n_users) / np.maximum(exact.n_users, 1)
     assert rel.max() <= 0.03, rel.max()
+
+
+def test_pagerank_hand_graph(ray_session):
+    """Integer PageRank vs a naive per-node reference loop on a small
+    directed graph with a dangling node (d has no outlinks) and a
+    2-node cycle."""
+    from consult_ray.pipelines.cluster import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("b", "d")]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges]),
+        "dst": pa.array([d for _, d in edges]),
+    }))
+    scale, iters = 10**12, 10
+    got = pagerank(ds, CFG, iters=iters, scale=scale).to_pandas()
+    got = dict(zip(got.host, got.pr))
+
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    outdeg = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] // outdeg[a]
+        r = {v: (15 * scale) // (100 * n) + (85 * s[v]) // 100 for v in nodes}
+    assert got == r
+    # d has two in-links (from b and c); c has one (half of a's rank)
+    assert got["d"] > got["c"]
