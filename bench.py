@@ -289,11 +289,12 @@ def _legs_report() -> None:
     reproducible from the artifact."""
     out_path = os.environ.get("GRAFT_LEGS_OUT", "/tmp/scaling_legs.jsonl")
     recs = []
-    with open(out_path) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                recs.append(json.loads(line))
+    if os.path.exists(out_path):  # no legs yet -> same empty ladder
+        with open(out_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    recs.append(json.loads(line))
     # legs from different corpora are not comparable: ladder only the
     # requested corpus (GRAFT_LEGS_NDOCS), default the largest sampled
     sizes = sorted({int(r.get("n_docs") or 0) for r in recs})

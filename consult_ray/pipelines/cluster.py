@@ -398,6 +398,7 @@ def pagerank(
     iters: int = 10,
     scale: int = 10**12,
     out_col: str = "pr",
+    id_seed: int | None = None,
 ) -> Dataset:
     """Integer-arithmetic PageRank over a DISTINCT (src, dst) string-key
     edge table — the domain-authority score a crawl pipeline feeds into
@@ -430,55 +431,52 @@ def pagerank(
     """
     import ray
 
-    from consult_ray.stages.ids import hash_keys
+    from consult_ray.stages.ids import DEFAULT_ID_SEED, hash_keys
     from consult_ray.util import grouped
 
+    seed = DEFAULT_ID_SEED ^ cfg.seed if id_seed is None else id_seed
     e = edges.select_columns([src_col, dst_col]).materialize()
 
-    def one_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({
-            "h": batch[src_col],
-            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+    def census_partial(batch: pa.Table) -> pa.Table:
+        # srcs carry their outdeg partials; dsts ride along at outdeg 0,
+        # so ONE groupby yields both the full node set and the degrees
+        s = grouped(
+            pa.table({
+                "h": batch[src_col],
+                "outdeg": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }),
+            ["h"], [("outdeg", "sum")], ["outdeg"],
+        )
+        u = batch[dst_col].combine_chunks().unique()
+        z = pa.table({
+            "h": u, "outdeg": pa.array(np.zeros(len(u), dtype=np.int64)),
         })
-        return grouped(t, ["h"], [("one", "sum")], ["outdeg"])
+        return pa.concat_tables([s, z]).combine_chunks()
 
-    deg = (
-        e.map_batches(one_partial, batch_format="pyarrow")
+    census = (
+        e.map_batches(census_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum("outdeg", alias_name="outdeg"))
         .to_pandas()
     )
-    def dst_partial(batch: pa.Table) -> pa.Table:
-        u = batch[dst_col].combine_chunks().unique()
-        return pa.table({
-            "h": u, "one": pa.array(np.ones(len(u), dtype=np.int64)),
-        })
-
-    dsts = (
-        e.select_columns([dst_col])
-        .map_batches(dst_partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("one", alias_name="one"))
-        .to_pandas()
-    )
-    hosts = np.unique(np.concatenate([
-        deg["h"].to_numpy(dtype=object), dsts["h"].to_numpy(dtype=object)
-    ]).astype(str))
-    n = len(hosts)
-    if n == 0:
+    n = len(census)
+    if n == 0 or "h" not in census.columns:  # empty edge table
         return rd.from_arrow(pa.table({
             "host": pa.array([], pa.string()),
             out_col: pa.array([], pa.int64()),
         }))
 
+    hosts = census["h"].to_numpy(dtype=object).astype(str)
+    sidx = np.argsort(hosts)
+    hosts = hosts[sidx]
     hostcol = pa.array(hosts, pa.string())
-    hid = hash_keys(hostcol)
+    hid = hash_keys(hostcol, seed=seed)
     order = np.argsort(hid)
     if len(np.unique(hid)) != n:  # 63-bit birthday audit (ids.py bound)
-        raise ValueError("host-id hash collision; rerun with a new seed")
-    outdeg = np.zeros(n, dtype=np.int64)
-    deg_idx = np.searchsorted(hid[order], hash_keys(pa.array(deg["h"], pa.string())))
-    outdeg[order[deg_idx]] = deg["outdeg"].to_numpy(dtype=np.int64)
+        raise ValueError(
+            "host-id hash collision; rerun with a different id_seed"
+        )
+    outdeg = census["outdeg"].to_numpy(dtype=np.int64)[sidx]
 
     teleport = np.int64((15 * scale) // (100 * n))
     r = np.full(n, scale // n, dtype=np.int64)
@@ -489,10 +487,12 @@ def pagerank(
 
         def round_partial(batch: pa.Table, _ref=ref) -> pa.Table:
             ids_sorted, c_sorted = ray.get(_ref)
-            sidx = np.searchsorted(ids_sorted, hash_keys(batch[src_col]))
+            gidx = np.searchsorted(
+                ids_sorted, hash_keys(batch[src_col], seed=seed)
+            )
             t = pa.table({
                 "dst": batch[dst_col],
-                "c": pa.array(c_sorted[sidx]),
+                "c": pa.array(c_sorted[gidx]),
             })
             return grouped(t, ["dst"], [("c", "sum")], ["c"])
 
@@ -505,7 +505,8 @@ def pagerank(
         s = np.zeros(n, dtype=np.int64)
         if len(agg):
             didx = np.searchsorted(
-                hid[order], hash_keys(pa.array(agg["dst"], pa.string()))
+                hid[order],
+                hash_keys(pa.array(agg["dst"], pa.string()), seed=seed),
             )
             s[order[didx]] = agg["c"].to_numpy(dtype=np.int64)
         r = teleport + (np.int64(85) * s) // np.int64(100)

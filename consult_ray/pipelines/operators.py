@@ -254,10 +254,12 @@ def range_join_count(
     hottest key (the advantage over asof_join's whole-key groups).
 
     Key and left_keep columns may be any Arrow type (string url keys
-    included): the right side emits no keep columns at all — the union's
-    schema unification null-fills them with the LEFT side's types. The
-    two key columns must share one Arrow type (always true for the
-    self-join uses; a cross-table mismatch fails loudly at the sort)."""
+    included); the keep-column types are read from the tagged left
+    stream's schema so right-side blocks carry matching typed nulls
+    (a sort partition may hold only right rows — its groups must still
+    agree on schema). NULL semantics mirror the SQL oracle: a left row
+    with a null key or null timestamp never matches anything but still
+    emits count 0 (LEFT-join), and null right rows never count."""
     W = np.int64(window_us)
     lcols = [on, left_ts, *left_keep]
 
@@ -268,17 +270,34 @@ def range_join_count(
 
     def tag_left(batch: pa.Table) -> pa.Table:
         t = _ts_i64(batch[left_ts])
+        ok = (
+            pc.and_(pc.is_valid(batch[on]), pc.is_valid(batch[left_ts]))
+            .to_numpy(zero_copy_only=False)
+        )
+        t = np.where(ok, t, np.int64(0))
+        # side 0 = joinable left row; side 2 = null-key/ts left row,
+        # which rides through to emit count 0 (SQL LEFT-join semantics)
         cols = {
             "k": batch[on],
             "bkt": pa.array(np.floor_divide(t, W)),
             "ts": pa.array(t),
-            "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "side": pa.array(np.where(ok, 0, 2).astype(np.int8)),
         }
         for c in left_keep:
             cols[c] = batch[c]
         return pa.table(cols)
 
+    tagged_left = left.select_columns(lcols).map_batches(
+        tag_left, batch_format="pyarrow"
+    )
+    lschema = tagged_left.schema().base_schema
+    keep_types = {c: lschema.field(c).type for c in left_keep}
+
     def tag_right(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch[right_on]), pc.is_valid(batch[right_ts])
+        )
+        batch = batch.filter(ok)  # null rows never count (SQL predicate)
         t = _ts_i64(batch[right_ts])
         b = np.floor_divide(t, W)
         n = len(t)
@@ -291,11 +310,11 @@ def range_join_count(
             "ts": pa.array(np.repeat(t, 3)),
             "side": pa.array(np.ones(3 * n, dtype=np.int8)),
         }
+        for c in left_keep:
+            cols[c] = pa.nulls(3 * n, keep_types[c])
         return pa.table(cols)
 
-    both = left.select_columns(lcols).map_batches(
-        tag_left, batch_format="pyarrow"
-    ).union(
+    both = tagged_left.union(
         right.select_columns([right_on, right_ts]).map_batches(
             tag_right, batch_format="pyarrow"
         )
@@ -304,18 +323,19 @@ def range_join_count(
     def per_group(g: pa.Table) -> pa.Table:
         side = g["side"].to_numpy(zero_copy_only=False)
         ts = g["ts"].to_numpy(zero_copy_only=False)
-        lmask = side == 0
+        lmask = side != 1
         if not lmask.any():
             return pa.table(
-                {c: pa.array([], g.schema.field(c).type) for c in left_keep}
+                {c: pa.array([], keep_types[c]) for c in left_keep}
                 | {out_count: pa.array([], pa.int64())}
             )
-        rts = np.sort(ts[~lmask])
+        rts = np.sort(ts[side == 1])
         lts = ts[lmask]
         n = (
             np.searchsorted(rts, lts + W, side="right")
             - np.searchsorted(rts, lts - W, side="left")
         ).astype(np.int64)
+        n[side[lmask] == 2] = 0  # null-key/ts left rows match nothing
         out = {c: g[c].filter(pa.array(lmask)) for c in left_keep}
         out[out_count] = pa.array(n)
         return pa.table(out)

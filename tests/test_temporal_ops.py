@@ -226,3 +226,49 @@ def test_pagerank_hand_graph(ray_session):
     assert got == r
     # d has two in-links (from b and c); c has one (half of a's rank)
     assert got["d"] > got["c"]
+
+
+def test_range_join_right_only_partition_and_nulls(ray_session):
+    """Two review regressions: (a) a sort partition holding only
+    right-side rows must not crash the empty-left branch (cross-table
+    skew: left keys all sort above right keys); (b) null keys/timestamps
+    mirror SQL predicate semantics — null left rows emit count 0, null
+    right rows never count."""
+    from consult_ray.pipelines.operators import range_join_count
+
+    left = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "user_id": pa.array(["zzz", "zzz", None], pa.string()),
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01 10:00", None, "2024-01-01 10:00"]),
+            pa.timestamp("us")),
+    })
+    right = pa.table({
+        "user_id": pa.array(["aaa"] * 2000 + ["zzz", None], pa.string()),
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01 10:05"] * 2001 + [None]),
+            pa.timestamp("us")),
+    })
+    out = range_join_count(
+        rd.from_arrow(left), rd.from_arrow(right), CFG,
+        on="user_id", right_on="user_id", left_ts="ts", right_ts="ts",
+        window_us=3600 * 1_000_000, left_keep=("event_id",),
+    ).to_pandas()
+    got = dict(zip(out.event_id, out.n_window))
+    # row 0: one in-window non-null zzz right row; rows 1-2: null ts/key
+    assert got == {0: 1, 1: 0, 2: 0}
+
+
+def test_pagerank_empty_edge_table(ray_session):
+    from consult_ray.pipelines.cluster import pagerank
+
+    out = pagerank(
+        rd.from_arrow(pa.table({
+            "src": pa.array([], pa.string()),
+            "dst": pa.array([], pa.string()),
+        })),
+        CFG,
+    )
+    # note: 0-row to_pandas drops columns in this Ray version, so assert
+    # on the dataset schema
+    assert out.count() == 0 and out.schema().names == ["host", "pr"]
