@@ -174,13 +174,27 @@ def asof_join(
     Plan: both sides project to a common (key, ts, side, payload) schema,
     union, ONE groupby(key) shuffle, and a per-group vectorized
     sort + np.searchsorted. Group size = one entity's rows, so memory is
-    bounded by the hottest key, not the table."""
+    bounded by the hottest key, not the table.
+
+    Keys may be integer (normalized to int64 so an int32/int64
+    cross-table pair still groups together) or string (url/host keys
+    pass through); keep-column types are read from the tagged left
+    stream's schema so right-side blocks carry matching typed nulls.
+    Rows with a null key or null timestamp drop on both sides — the
+    join is inner, and SQL's ASOF predicate never matches NULL."""
 
     lcols = [on, left_ts, *left_keep]
 
+    def _key(col):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return col if pa.types.is_string(col.type) else col.cast(pa.int64())
+
     def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[on]), pc.is_valid(batch[left_ts]))
+        )
         cols = {
-            "k": batch[on].cast(pa.int64()),
+            "k": _key(batch[on]),
             "ts": batch[left_ts],
             "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
         }
@@ -188,17 +202,27 @@ def asof_join(
             cols[c] = batch[c]
         return pa.table(cols)
 
+    tagged_left = left.select_columns(lcols).map_batches(
+        tag_left, batch_format="pyarrow"
+    )
+    lschema = tagged_left.schema().base_schema
+    keep_types = {c: lschema.field(c).type for c in left_keep}
+    ts_type = lschema.field("ts").type
+
     def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[right_on]), pc.is_valid(batch[right_ts]))
+        )
         cols = {
-            "k": batch[right_on].cast(pa.int64()),
+            "k": _key(batch[right_on]),
             "ts": batch[right_ts],
             "side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
         }
         for c in left_keep:
-            cols[c] = pa.nulls(batch.num_rows, pa.int64())
+            cols[c] = pa.nulls(batch.num_rows, keep_types[c])
         return pa.table(cols)
 
-    both = left.select_columns(lcols).map_batches(tag_left, batch_format="pyarrow").union(
+    both = tagged_left.union(
         right.select_columns([right_on, right_ts]).map_batches(tag_right, batch_format="pyarrow")
     )
 
@@ -210,8 +234,8 @@ def asof_join(
         lts = ts[lmask]
         if len(rts) == 0 or len(lts) == 0:
             return pa.table(
-                {c: pa.array([], g.schema.field(c).type) for c in left_keep}
-                | {out_ts: pa.array([], g.schema.field("ts").type)}
+                {c: pa.array([], keep_types[c]) for c in left_keep}
+                | {out_ts: pa.array([], ts_type)}
             )
         pos = np.searchsorted(rts, lts, side="right") - 1
         ok = pos >= 0

@@ -272,3 +272,29 @@ def test_pagerank_empty_edge_table(ray_session):
     # note: 0-row to_pandas drops columns in this Ray version, so assert
     # on the dataset schema
     assert out.count() == 0 and out.schema().names == ["host", "pr"]
+
+
+def test_asof_join_string_keys_and_nulls(ray_session):
+    """String (host-shaped) keys work; null keys/timestamps drop on both
+    sides (inner ASOF semantics) instead of NaT-matching each other; a
+    key range holding only right rows returns cleanly."""
+    left = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "host": pa.array(["h2", "h2", None, "h2"], pa.string()),
+        "ts": _ts("2024-01-02 00:00", "2024-01-01 00:00",
+                  "2024-01-02 00:00", None),
+    })
+    right = pa.table({
+        "host": pa.array(["h1", "h1", "h2", None], pa.string()),
+        "ots": _ts("2024-01-01 00:00", "2024-01-02 00:00",
+                   "2024-01-01 12:00", None),
+    })
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), CFG,
+        on="host", right_on="host", left_ts="ts", right_ts="ots",
+        out_ts="asof", left_keep=("event_id",),
+    ).to_pandas()
+    # only event 0 matches (h2 at 01-02 >= h2 order at 01-01 12:00);
+    # event 1 precedes every h2 right row; events 2-3 are null-keyed/ts
+    assert list(out.event_id) == [0]
+    assert out["asof"].iloc[0] == pd.Timestamp("2024-01-01 12:00")
