@@ -140,6 +140,50 @@ _SQL_LINKS = (
 )
 
 
+# --- seeded shuffle-to-shards export -------------------------------------
+
+_SHUF_SHARDS = 8
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Seeded deterministic global shuffle into training shards (epoch-0
+    data order): key = splitmix64(doc_id + seed), shard = key % S,
+    pos = rank within shard. Bit-exact vs a DuckDB oracle replaying
+    SplitMix64 in HUGEINT split-multiplication arithmetic."""
+    from consult_ray.stages.pack import shuffle_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_shards(docs, _SHUF_SHARDS, seed=CFG.seed)
+
+
+def _shuffle_sql() -> str:
+    gamma = 0x9E3779B97F4A7C15
+    m1 = 0xBF58476D1CE4E5B9
+    m2 = 0x94D049BB133111EB
+    m64, m32 = 1 << 64, 1 << 32
+
+    def mulmod(e: str, c: int) -> str:
+        # (e * c) mod 2^64 without HUGEINT overflow: split e at 2^32
+        return (
+            f"((({e}) % {m32}) * {c} + "
+            f"(((({e}) // {m32}) * {c}) % {m32}) * {m32}) % {m64}"
+        )
+
+    x0 = f"((CAST(doc_id AS HUGEINT) + {CFG.seed} + {gamma}) % {m64})"
+    x1 = mulmod(f"xor(CAST({x0} AS HUGEINT), CAST({x0} AS HUGEINT) >> 30)", m1)
+    x2 = mulmod(f"xor(CAST({x1} AS HUGEINT), CAST({x1} AS HUGEINT) >> 27)", m2)
+    key = f"xor(CAST(({x2}) AS HUGEINT), CAST(({x2}) AS HUGEINT) >> 31)"
+    return (
+        f"WITH k AS (SELECT doc_id, {key} AS key FROM documents) "
+        f"SELECT doc_id, CAST(key % {_SHUF_SHARDS} AS BIGINT) AS shard, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY key % "
+        f"{_SHUF_SHARDS} ORDER BY key) - 1 AS BIGINT) AS pos FROM k"
+    )
+
+
+_SQL_SHUFFLE = _shuffle_sql()
+
+
 # --- domain-graph PageRank ----------------------------------------------
 
 _PR_SCALE = 10**12
@@ -529,6 +573,7 @@ TRAIN_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pages_links": q_pages_links,
     "host_pagerank": q_host_pagerank,
+    "shuffle_shards": q_shuffle_shards,
     "quality_classifier": q_quality_classifier,
 }
 
@@ -536,6 +581,7 @@ TRAIN_ORACLE_SQL = {
     "pack_sequences": _SQL_PACK,
     "pages_links": _SQL_LINKS,
     "host_pagerank": _SQL_PAGERANK,
+    "shuffle_shards": _SQL_SHUFFLE,
     "docs_from_fasta": _SQL_FASTA,
     "docs_from_fastq": _SQL_FASTQ,
     "quality_features": _SQL_QUALITY_FEATURES,

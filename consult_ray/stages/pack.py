@@ -74,3 +74,55 @@ def pack_sequences(docs, n_shards: int, budget: int,
     return narrow.groupby("shard").map_groups(
         lambda g: pack_shard(g, budget), batch_format="pyarrow"
     )
+
+
+def shuffle_shards(docs, num_shards: int, seed: int,
+                   id_col: str = "doc_id"):
+    """Seeded deterministic global shuffle into training shards — the
+    export step between a packed/deduped corpus and a training run
+    (every epoch-0 data order comes from exactly this operator).
+
+    key   = splitmix64(uint64(doc_id + seed))   (bijective per doc)
+    shard = key % num_shards
+    pos   = rank of key within its shard (0-based)
+
+    Deterministic pure function of (doc_id, seed): retries, re-runs and
+    re-shards are value-identical (the repo's seeded-randomness
+    contract), and the oracle SQL replays the identical SplitMix64 in
+    HUGEINT split-multiplication arithmetic. Plan: one map_batches
+    computes (id, shard, key); one groupby(shard) ranks each shard with
+    a single argsort — group size = corpus / num_shards, so num_shards
+    is the worker-memory knob (same contract as pack_sequences'
+    n_shards: 1e12 docs / 2^16 shards = 15M narrow rows per group).
+    Text never shuffles; move only ids, then join text back at the
+    shard writer by doc_id if the export needs payloads co-located."""
+    from consult_ray.functions.hashing import splitmix64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            key = splitmix64(ids.view(np.uint64) + np.uint64(seed))
+        return pa.table({
+            id_col: batch[id_col],
+            "shard": pa.array(
+                (key % np.uint64(num_shards)).astype(np.int64)
+            ),
+            "key": pa.array(key),
+        })
+
+    def rank(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        pos = np.empty(len(key), dtype=np.int64)
+        pos[np.argsort(key)] = np.arange(len(key), dtype=np.int64)
+        return pa.table({
+            id_col: group[id_col],
+            "shard": group["shard"],
+            "pos": pa.array(pos),
+        })
+
+    return (
+        docs.select_columns([id_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pyarrow")
+    )

@@ -207,3 +207,25 @@ def test_extract_hrefs_matches_regex_on_adversarial_html():
         for i, row in enumerate(rows_in):
             want = rx.findall(row) if row is not None else []
             assert got.get(i, []) == want, (row, want, got.get(i, []))
+
+
+def test_shuffle_shards_is_seeded_permutation(ray_session):
+    """Each (shard, pos) pair is unique, positions are dense per shard,
+    the id set round-trips, and a different seed permutes differently."""
+    import ray.data as rd
+
+    from consult_ray.stages.pack import shuffle_shards
+
+    ids = pa.table({"doc_id": pa.array(np.arange(777), pa.int64())})
+    a = shuffle_shards(rd.from_arrow(ids), 4, seed=42).to_pandas()
+    b = shuffle_shards(rd.from_arrow(ids), 4, seed=42).to_pandas()
+    c = shuffle_shards(rd.from_arrow(ids), 4, seed=43).to_pandas()
+
+    a_s = a.sort_values("doc_id", ignore_index=True)
+    assert sorted(a.doc_id) == list(range(777))
+    for s, g in a.groupby("shard"):
+        assert sorted(g.pos) == list(range(len(g)))
+    # determinism across runs; a new seed moves assignments
+    assert a_s.equals(b.sort_values("doc_id", ignore_index=True))
+    c_s = c.sort_values("doc_id", ignore_index=True)
+    assert not a_s[["shard", "pos"]].equals(c_s[["shard", "pos"]])
