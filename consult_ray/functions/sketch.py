@@ -213,3 +213,58 @@ def misra_gries_shrink(
     offset = np.partition(weights, len(weights) - k - 1)[len(weights) - k - 1]
     keep = weights > offset
     return items[keep], weights[keep] - offset
+
+
+# --- mergeable quantile summary (equi-rank downsample) -------------------
+#
+# The scale-path twin of the exact distributed-value-count quantiles
+# (extra_queries.q_length_quantiles): when the value domain is NOT
+# bounded (floats, high-cardinality lengths), the exact count table can
+# approach the row count and the plan degrades to a full sort. A
+# bounded mergeable summary — the Manku–Rajagopalan–Lindsay merge-and-
+# prune family (SIGMOD 1998), the same lineage as KLL — keeps a fixed
+# budget of weighted points per summary regardless of input size:
+#
+#   prune: sort points by value, walk the weighted CDF, keep the point
+#   covering each of `budget` evenly spaced rank targets, re-weight
+#   uniformly. Each prune perturbs any rank by <= W_level / budget, so
+#   a fan-in-16 merge tree of depth d costs <= d * W / budget total
+#   rank error (budget 4096, d <= 3 at 10^12 rows => < 0.1%).
+#
+# Deterministic: points sort by (value, weight) so the result is a pure
+# function of the input MULTISET (merge order never matters), and the
+# block->batch composition is Ray's deterministic block order.
+
+def qsketch_prune(
+    vals: np.ndarray, wts: np.ndarray, budget: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Downsample a weighted point set to <= budget equi-rank points."""
+    if len(vals) <= budget:
+        o = np.lexsort((wts, vals))
+        return vals[o], wts[o]
+    o = np.lexsort((wts, vals))
+    v, w = vals[o], wts[o].astype(np.float64)
+    cw = np.cumsum(w)
+    total = cw[-1]
+    targets = (np.arange(budget, dtype=np.float64) + 0.5) * (total / budget)
+    idx = np.clip(np.searchsorted(cw, targets, side="left"), 0, len(v) - 1)
+    return v[idx], np.full(budget, total / budget)
+
+
+def qsketch_merge(
+    summaries: list[tuple[np.ndarray, np.ndarray]], budget: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge = concat + prune (order-free: prune sorts by value)."""
+    vals = np.concatenate([s[0] for s in summaries])
+    wts = np.concatenate([s[1] for s in summaries])
+    return qsketch_prune(vals, wts, budget)
+
+
+def qsketch_quantile(vals: np.ndarray, wts: np.ndarray, q: float):
+    """Inverse-CDF lookup: the summary point covering rank q * W —
+    exact inverse-CDF (percentile_disc) semantics on an unpruned
+    summary, the same definition as the exact quantile query."""
+    cw = np.cumsum(wts.astype(np.float64))
+    i = int(np.clip(np.searchsorted(cw, q * cw[-1], side="left"),
+                    0, len(vals) - 1))
+    return vals[i]
