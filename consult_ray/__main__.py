@@ -160,12 +160,31 @@ def main(argv: list[str] | None = None) -> int:
         key_col, id_col = args.id_col, "__docid"
         docs = add_hashed_doc_ids(docs, key_col=key_col, id_col=id_col)
         if args.mode == "dedup":
+            import shutil
+            import tempfile
+
             os.makedirs(args.workdir, exist_ok=True)
             mpath = os.path.join(args.workdir, "id_mapping")
+            # sweep tmp orphans from crashed writes (they never go live)
+            for d in os.listdir(args.workdir):
+                if d.startswith("id_mapping.tmp"):
+                    shutil.rmtree(os.path.join(args.workdir, d),
+                                  ignore_errors=True)
             if not os.path.exists(os.path.join(mpath, "_done")):
-                docs.select_columns([id_col, key_col]).write_parquet(mpath)
-                with open(os.path.join(mpath, "_done"), "w") as f:
+                # lean key-only scan: the mapping never needs text/html,
+                # so the heavy columns stay in storage for this pass
+                keys = add_hashed_doc_ids(
+                    read_parquet_clean(args.input, columns=[key_col]),
+                    key_col=key_col, id_col=id_col,
+                ).select_columns([id_col, key_col])
+                tmp = tempfile.mkdtemp(prefix="id_mapping.tmp",
+                                       dir=args.workdir)
+                keys.write_parquet(tmp)
+                with open(os.path.join(tmp, "_done"), "w") as f:
                     f.write("")
+                # tmp is complete (incl. marker); swap it live atomically
+                shutil.rmtree(mpath, ignore_errors=True)
+                os.replace(tmp, mpath)
             print(f"string id column {key_col!r}: hashed int64 ids assigned; "
                   f"(id, {key_col}) mapping parquet at {mpath}")
 

@@ -61,6 +61,10 @@ def _write_checkpoint(ds: Dataset, path: str) -> tuple[int, list[dict]]:
     lineage."""
     fs, root = fsio.resolve_fs(path)
     fsio.mkdirs(fs, root)
+    try:  # the generation the prior commit pointed at, if any
+        prev_gen = fsio.read_json(fs, fsio.join(root, _MANIFEST)).get("data")
+    except Exception:
+        prev_gen = None
     gen = f"data-{uuid.uuid4().hex[:8]}"
     data_dir = fsio.join(root, gen)
     ds.write_parquet(data_dir, filesystem=fs)
@@ -90,15 +94,19 @@ def _write_checkpoint(ds: Dataset, path: str) -> tuple[int, list[dict]]:
         })
     fsio.write_json(fs, fsio.join(root, _MANIFEST), {"data": gen, "files": parts})
     fsio.write_marker(fs, fsio.join(root, _SUCCESS), str(time.time()))
-    # GC superseded generations (crashed or replaced writes)
+    # GC superseded generations (crashed or replaced writes) — but keep
+    # the immediate predecessor for one commit, per the fsio protocol:
+    # readers that resolved the prior manifest stay valid until the NEXT
+    # rewrite (library._commit_manifest keeps the same retention)
     try:
         infos = fs.get_file_info(pafs.FileSelector(root, recursive=False))
+        keep = {gen, prev_gen}
         for i in infos:
             base = os.path.basename(i.path)
             if (
                 i.type == pafs.FileType.Directory
                 and base.startswith("data-")
-                and base != gen
+                and base not in keep
             ):
                 fs.delete_dir(i.path)
     except Exception:

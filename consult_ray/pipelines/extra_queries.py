@@ -540,7 +540,12 @@ def q_embedding_clusters(sf_dir: str):
 
 # --- web-pipeline operators over the input_hint pages shape ----------
 
-_PAGES_EPOCH_US = 1_500_000_000_000_000  # matches queries._pages_table
+from consult_ray.pipelines.pagesview import (  # single source of truth
+    PAGES_EPOCH_US as _PAGES_EPOCH_US,
+    PAGES_URL_SQL as _URL_SQL,
+    pages_url as _pages_url,
+)
+
 _RECRAWL_DELTA_US = 30 * 86_400 * 1_000_000
 
 
@@ -562,12 +567,7 @@ def q_pages_latest_crawl(sf_dir: str):
             if recrawl:
                 ids = batch["doc_id"].to_numpy(zero_copy_only=False)
                 batch = batch.filter(pa.array(ids % 3 == 0))
-            n = batch.num_rows
-            url = pc.binary_join_element_wise(
-                pa.array(["https://"] * n), batch["source"].cast(pa.string()),
-                pa.array(["/doc/"] * n), pc.cast(batch["doc_id"], pa.string()),
-                "",
-            )
+            url = _pages_url(batch)
             ts = pc.add(
                 pc.multiply(batch["doc_id"], pa.scalar(1_000_000, pa.int64())),
                 pa.scalar(
@@ -716,11 +716,7 @@ def q_domain_stats(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        url = pc.binary_join_element_wise(
-            pa.array(["https://"] * n), batch["source"].cast(pa.string()),
-            pa.array(["/doc/"] * n), pc.cast(batch["doc_id"], pa.string()), "",
-        )
+        url = _pages_url(batch)
         # domain = host between the scheme and the first path slash
         domain = pc.list_element(pc.split_pattern(url, "/"), 2)
         t = pa.table({
@@ -961,11 +957,7 @@ def q_crawl_changed(sf_dir: str):
             recrawl.schema.get_field_index("text"), "text", new_text
         )
         both = pa.concat_tables([base, recrawl])
-        n = both.num_rows
-        url = pc.binary_join_element_wise(
-            pa.array(["https://"] * n), both["source"].cast(pa.string()),
-            pa.array(["/doc/"] * n), pc.cast(both["doc_id"], pa.string()), "",
-        )
+        url = _pages_url(both)
         h = doc_fingerprint_batch(both)["content_hash"]
         t = pa.table({"url": url, "h": h})
         return grouped(t, ["url"], [("h", "min"), ("h", "max"), ("h", "count")],
@@ -1001,24 +993,36 @@ def q_export_survivors(sf_dir: str):
     import hashlib
     import os
     import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
 
     from consult_ray.pipelines import operators as ops
     from consult_ray.util import grouped
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
-    key = hashlib.md5(f"{sf_dir}:survivors:v1".encode()).hexdigest()[:12]
-    out_dir = f"/tmp/consult_ray_export/{key}"
+    # cache key carries the source row count so a regenerated corpus at
+    # the same path can't serve a stale export (metadata-only read)
+    nrows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    key = hashlib.md5(f"{sf_dir}:{nrows}:survivors:v1".encode()).hexdigest()[:12]
+    base = "/tmp/consult_ray_export"
+    out_dir = f"{base}/{key}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        tmp = out_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # unique tmp per process: concurrent builders each write their
+        # own complete copy and the swap stays last-writer-wins atomic
+        os.makedirs(base, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{key}.tmp", dir=base)
         survivors = ops.exact_dedup_survivors(docs, CFG).select_columns(
             ["doc_id", "lang", "n_chars"]
         )
         survivors.write_parquet(tmp, partition_cols=["lang"])
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
         shutil.rmtree(out_dir, ignore_errors=True)
-        os.replace(tmp, out_dir)
-        open(marker, "w").close()
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:  # lost the swap race; the winner's copy is live
+            shutil.rmtree(tmp, ignore_errors=True)
 
     back = rd.read_parquet(out_dir)
 
@@ -1084,9 +1088,23 @@ def q_heavy_hitter_words(sf_dir: str):
         .aggregate(Sum("w", alias_name="w"))
         .materialize()  # small: bounded by the block summaries' union
     )
-    total = summary.filter(expr=f"word == '{_MG_SENTINEL}'").take_all()[0]["w"]
+    sent = summary.filter(expr=f"word == '{_MG_SENTINEL}'").take_all()
+    if not sent:  # empty corpus: no blocks ever emitted the sentinel
+        return rd.from_arrow(pa.table({
+            "word": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }))
+    total = sent[0]["w"]
     thresh = -(-total // 100)          # ceil: 100*c >= total  <=>  c >= thresh
     slack = total // (_MG_K + 1)       # max total MG undercount
+    # the two-pass superset proof needs thresh > slack: an item dropped
+    # from every block summary has merged weight 0, so with slack >=
+    # thresh it could still be heavy yet never become a candidate. Holds
+    # iff _MG_K + 1 > the threshold divisor (256+1 > 100); keep coupled.
+    assert thresh > slack, (
+        f"MG superset bound void: k={_MG_K} too small for threshold "
+        f"total/100 (thresh={thresh} <= slack={slack})"
+    )
     cands = sorted(
         r["word"]
         for r in summary.filter(
@@ -1286,12 +1304,12 @@ EXTRA_ORACLE_SQL = {
     # timestamps match q_pages_latest_crawl's _PAGES_EPOCH_US math
     "pages_latest_crawl": (
         "WITH pages AS ("
-        "SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) "
-        "AS url, 1500000000000000 + doc_id * 1000000 AS ts_us "
+        f"SELECT {_URL_SQL} "
+        f"AS url, {_PAGES_EPOCH_US} + doc_id * 1000000 AS ts_us "
         "FROM documents "
         "UNION ALL "
-        "SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR), "
-        "1500000000000000 + 2592000000000 + doc_id * 1000000 "
+        f"SELECT {_URL_SQL}, "
+        f"{_PAGES_EPOCH_US} + {_RECRAWL_DELTA_US} + doc_id * 1000000 "
         "FROM documents WHERE doc_id % 3 = 0) "
         "SELECT url, CAST(max(ts_us) AS BIGINT) AS latest_ts_us, "
         "CAST(count(*) AS BIGINT) AS n_crawls FROM pages GROUP BY url"
@@ -1349,8 +1367,7 @@ EXTRA_ORACLE_SQL = {
     # strlen = BYTES (matches Arrow binary_length); length() would be
     # codepoints and diverge on the non-ascii langs
     "domain_stats": (
-        "SELECT split_part('https://' || source || '/doc/' || "
-        "CAST(doc_id AS VARCHAR), '/', 3) AS domain, "
+        "SELECT split_part(" + _URL_SQL + ", '/', 3) AS domain, "
         "CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, "
         "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
@@ -1403,7 +1420,7 @@ EXTRA_ORACLE_SQL = {
         "THEN text || ' updated!' ELSE text END "
         "FROM documents WHERE doc_id % 3 = 0) "
         "SELECT url, changed FROM ("
-        "SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) "
+        "SELECT " + _URL_SQL + " "
         "AS url, count(*) AS c, min(text) <> max(text) AS changed "
         "FROM snap GROUP BY 1) WHERE c = 2"
     ),

@@ -292,6 +292,12 @@ def range_join_count(
             "datetime64[us]"
         ).view(np.int64)
 
+    def _key(col):
+        # same normalization as asof_join: integers widen to int64 so an
+        # int32/int64 cross-table pair still groups; strings pass through
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return col if pa.types.is_string(col.type) else col.cast(pa.int64())
+
     def tag_left(batch: pa.Table) -> pa.Table:
         t = _ts_i64(batch[left_ts])
         ok = (
@@ -302,7 +308,7 @@ def range_join_count(
         # side 0 = joinable left row; side 2 = null-key/ts left row,
         # which rides through to emit count 0 (SQL LEFT-join semantics)
         cols = {
-            "k": batch[on],
+            "k": _key(batch[on]),
             "bkt": pa.array(np.floor_divide(t, W)),
             "ts": pa.array(t),
             "side": pa.array(np.where(ok, 0, 2).astype(np.int8)),
@@ -327,7 +333,7 @@ def range_join_count(
         n = len(t)
         rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), 3))
         cols = {
-            "k": batch[right_on].combine_chunks().take(rep),
+            "k": _key(batch[right_on]).take(rep),
             "bkt": pa.array(np.repeat(b, 3) + np.tile(
                 np.array([-1, 0, 1], dtype=np.int64), n
             )),

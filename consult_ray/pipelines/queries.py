@@ -510,19 +510,15 @@ def _pages_url_table(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def mk_url(batch: pa.Table) -> pa.Table:
-        url = pc.binary_join_element_wise(
-            pa.array(["https://"] * batch.num_rows),
-            batch["source"].cast(pa.string()),
-            pa.array(["/doc/"] * batch.num_rows),
-            pc.cast(batch["doc_id"], pa.string()),
-            "",
-        )
-        return pa.table({"url": url, "text": batch["text"]})
+        return pa.table({"url": pages_url(batch), "text": batch["text"]})
 
     return docs.map_batches(mk_url, batch_format="pyarrow")
 
 
-_PAGES_EPOCH_US = 1_500_000_000_000_000  # fixed epoch (us), matches synth.py
+from consult_ray.pipelines.pagesview import (  # single source of truth
+    PAGES_EPOCH_US as _PAGES_EPOCH_US,
+    pages_url,
+)
 
 
 def _pages_table(sf_dir: str):
@@ -545,10 +541,7 @@ def _pages_table(sf_dir: str):
             return pa.array([s] * n)
 
         src = batch["source"].cast(pa.string())
-        url = pc.binary_join_element_wise(
-            lit("https://"), src, lit("/doc/"),
-            pc.cast(batch["doc_id"], pa.string()), "",
-        )
+        url = pages_url(batch)
         html = pc.binary_join_element_wise(
             lit("<html><head><title>"), url,
             lit("</title></head><body><header><nav>home about "), src,

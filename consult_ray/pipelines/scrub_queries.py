@@ -309,10 +309,12 @@ def q_docs_from_jsonl(sf_dir: str):
     if not os.path.exists(marker):
         import json
         import shutil
+        import tempfile
 
-        tmp = out_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
+        # unique tmp per process (concurrent builders never share a dir)
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{key}.tmp",
+                               dir=os.path.dirname(out_dir))
 
         def dump(batch: pa.Table) -> pa.Table:
             rows = batch.to_pylist()
@@ -325,9 +327,12 @@ def q_docs_from_jsonl(sf_dir: str):
             return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
         src.map_batches(dump, batch_format="pyarrow").count()
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
         shutil.rmtree(out_dir, ignore_errors=True)
-        os.replace(tmp, out_dir)
-        open(marker, "w").close()
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:  # lost the swap race; the winner's copy is live
+            shutil.rmtree(tmp, ignore_errors=True)
 
     files = [
         os.path.join(out_dir, f)

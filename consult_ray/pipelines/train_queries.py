@@ -294,13 +294,19 @@ def _roundtrip_dir(sf_dir: str, kind: str, writer) -> str:
     out_dir = f"/tmp/consult_ray_{kind}/{key}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        tmp = out_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
+        import tempfile
+
+        # unique tmp per process (concurrent builders never share a dir)
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{key}.tmp",
+                               dir=os.path.dirname(out_dir))
         writer(src, tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
         shutil.rmtree(out_dir, ignore_errors=True)
-        os.replace(tmp, out_dir)
-        open(marker, "w").close()
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:  # lost the swap race; the winner's copy is live
+            shutil.rmtree(tmp, ignore_errors=True)
     return out_dir
 
 
