@@ -187,3 +187,30 @@ def test_empty_edges_checkpoint_round_trips(ray_session, tmp_path):
     assert out2["edges"].count() == 0
     clusters2 = out2["clusters"].to_pandas().sort_values("doc_id")
     assert clusters1.reset_index(drop=True).equals(clusters2.reset_index(drop=True))
+
+
+def test_checkpoint_gc_keeps_one_generation(ray_session, tmp_path):
+    """fsio protocol: files retired by the previous commit survive one
+    generation (readers holding the prior manifest stay valid), and are
+    collected on the commit after that."""
+    import ray.data as rd
+
+    from consult_ray.pipelines.checkpointed import _write_checkpoint
+
+    path = str(tmp_path / "ck")
+
+    def gens():
+        return sorted(d for d in os.listdir(path) if d.startswith("data-"))
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+    _write_checkpoint(ds, path)
+    g1 = gens()
+    assert len(g1) == 1
+
+    _write_checkpoint(ds, path)
+    g2 = gens()
+    assert len(g2) == 2 and g1[0] in g2  # predecessor retained
+
+    _write_checkpoint(ds, path)
+    g3 = gens()
+    assert len(g3) == 2 and g1[0] not in g3  # grandparent collected
