@@ -215,6 +215,25 @@ def q_substring_pairs(sf_dir: str):
     return substring_pairs_table(tbl)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (semantic
+    bucketing for cluster-then-sample curation): 8 cells, 5 distributed
+    update rounds, cosine assignment. Output = per-cluster sizes sorted
+    by cluster id (rows-only; tests/test_stages.py pins exact blob
+    recovery and within-session determinism on synthetic mixtures)."""
+    from ray.data.aggregate import Count
+
+    from consult_ray.stages.similarity import kmeans_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned, _cent = kmeans_embeddings(ds, CFG, k=8, iters=5)
+    return (
+        assigned.groupby("cluster")
+        .aggregate(Count(alias_name="n"))
+        .sort("cluster")
+    )
+
+
 def q_knn_cosine(sf_dir: str):
     """Exact cosine top-10 vs the embedding of vec_id 0 (similarity
     search baseline)."""
@@ -660,6 +679,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "substring_pairs": q_substring_pairs,
     "knn_cosine": q_knn_cosine,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "dedup_edges": q_dedup_edges,
     "dedup_clusters": q_dedup_clusters,
     "fingerprints": q_fingerprints,

@@ -357,3 +357,127 @@ def lsh_topk(
 
     cand = embeddings_bucketed.map_batches(in_probes, batch_format="pyarrow")
     return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def kmeans_embeddings(
+    embeddings: Dataset,
+    cfg: PipelineConfig,
+    k: int = 8,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[Dataset, np.ndarray]:
+    """Distributed Lloyd's k-means over the FULL embedding table — the
+    semantic-bucketing operator for data curation (cluster-then-sample,
+    semantic dedup cells). ivf_build_centroids fits on a bounded driver
+    sample; here the UPDATE step is distributed too, so every vector
+    contributes to the centroids at any corpus size.
+
+    Per round: centroids broadcast ONCE via ray.put ((k, d) float64,
+    L2-normalized; cosine assignment = argmax x_hat @ c_hat.T); each
+    batch emits one row per non-empty cluster (cid, vector-sum bytes,
+    count) — a k x d dense partial, the same bounded-intake shape as
+    the CMS/Bloom folds — pre-folded fan-in 16 in worker tasks before
+    take_all, so the driver receives ~n_blocks/16 x k rows per round.
+    Empty clusters keep their previous centroid. Deterministic within a
+    session (the fan-in tree fixes the float accumulation order;
+    retries are value-identical). Init: the seeded bounded-sample
+    k-means (ivf_build_centroids).
+
+    Returns (assignments Dataset with an int32 `cluster` column,
+    (k, d) centroid matrix).
+
+    Init: deterministic farthest-point (maxmin) over a bounded driver
+    sample — unlike a random draw it cannot seed two centroids inside
+    one tight blob, so well-separated mixtures recover exactly (pinned
+    by tests/test_stages.py); ivf_build_centroids keeps its seeded draw
+    (IVF only needs balanced cells, not blob identity)."""
+    rows = embeddings.limit(4096).take_all()
+    m = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    k = min(k, len(m))
+    picked = [0]  # Ray limit() order is deterministic per plan
+    best = m @ m[0]
+    for _ in range(k - 1):
+        nxt = int(np.argmin(best))  # least similar to every chosen seed
+        picked.append(nxt)
+        best = np.maximum(best, m @ m[nxt])
+    cent = m[picked].copy()
+    d = cent.shape[1]
+
+    def round_partial(batch: pa.Table, _ref) -> pa.Table:
+        c = ray.get(_ref)
+        m = _embedding_matrix(batch, vec_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mh = m / norms[:, None]
+        assign = np.argmax(mh @ c.T, axis=1)
+        cids, sums, ns = [], [], []
+        for ci in np.unique(assign):
+            sel = mh[assign == ci]
+            cids.append(int(ci))
+            sums.append(sel.sum(axis=0).tobytes())
+            ns.append(len(sel))
+        return pa.table({
+            "cid": pa.array(cids, pa.int32()),
+            "s": pa.array(sums, pa.large_binary()),
+            "n": pa.array(np.asarray(ns, dtype=np.int64)),
+        })
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cids = batch["cid"].to_numpy(zero_copy_only=False)
+        ns = batch["n"].to_numpy(zero_copy_only=False)
+        out_c, out_s, out_n = [], [], []
+        for ci in np.unique(cids):
+            rows = np.flatnonzero(cids == ci)
+            acc = np.zeros(d, dtype=np.float64)
+            for i in rows:  # <=16 rows per cid per combine batch
+                acc += np.frombuffer(batch["s"][int(i)].as_py(), np.float64)
+            out_c.append(int(ci))
+            out_s.append(acc.tobytes())
+            out_n.append(int(ns[rows].sum()))
+        return pa.table({
+            "cid": pa.array(out_c, pa.int32()),
+            "s": pa.array(out_s, pa.large_binary()),
+            "n": pa.array(np.asarray(out_n, dtype=np.int64)),
+        })
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+        rows = (
+            embeddings.map_batches(
+                lambda b, _r=ref: round_partial(b, _r),
+                batch_format="pyarrow",
+            )
+            .map_batches(combine, batch_format="pyarrow", batch_size=16)
+            .take_all()
+        )
+        sums = np.zeros((k, d), dtype=np.float64)
+        ns = np.zeros(k, dtype=np.int64)
+        for r in rows:  # bounded: ~n_blocks/16 x k rows
+            sums[r["cid"]] += np.frombuffer(r["s"], np.float64)
+            ns[r["cid"]] += r["n"]
+        nxt = cent.copy()  # empty clusters keep their centroid
+        live = ns > 0
+        v = sums[live] / ns[live, None]
+        vn = np.linalg.norm(v, axis=1)
+        vn[vn == 0] = 1.0
+        nxt[live] = v / vn[:, None]
+        cent = nxt
+
+    ref = ray.put(cent)
+
+    def assign_final(batch: pa.Table, _r=ref) -> pa.Table:
+        c = ray.get(_r)
+        m = _embedding_matrix(batch, vec_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        a = np.argmax((m / norms[:, None]) @ c.T, axis=1).astype(np.int32)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a),
+        })
+
+    return embeddings.map_batches(assign_final, batch_format="pyarrow"), cent

@@ -293,3 +293,37 @@ def test_minimizers_match_bruteforce_random_unicode(ray_session):
 
     for i, t in enumerate(texts):
         assert got.minimizer[i] == brute(t), i
+
+
+def test_kmeans_embeddings_recovers_blobs(ray_session):
+    """Distributed Lloyd's must exactly recover well-separated synthetic
+    blobs (every blob lands in one cluster, clusters don't merge), and
+    two runs in one session are value-identical."""
+    import ray.data as rd
+
+    from consult_ray.config import PipelineConfig
+    from consult_ray.stages.similarity import kmeans_embeddings
+
+    rng = np.random.default_rng(23)
+    k, per, d = 4, 120, 16
+    centers = rng.normal(size=(k, d)) * 8
+    vecs = np.concatenate([
+        centers[i] + rng.normal(scale=0.05, size=(per, d)) for i in range(k)
+    ])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(k * per), pa.int64()),
+        "embedding": pa.array(list(vecs.astype(np.float32))),
+    })
+    cfg = PipelineConfig()
+    a1, cent = kmeans_embeddings(rd.from_arrow(tbl), cfg, k=k, iters=8)
+    df = a1.to_pandas().sort_values("vec_id", ignore_index=True)
+    lab = df.cluster.to_numpy()
+    # each blob maps to exactly one cluster and no two blobs share one
+    blob_clusters = [set(lab[i * per:(i + 1) * per]) for i in range(k)]
+    assert all(len(s) == 1 for s in blob_clusters), blob_clusters
+    assert len(set().union(*blob_clusters)) == k
+    assert cent.shape == (k, d)
+
+    a2, _ = kmeans_embeddings(rd.from_arrow(tbl), cfg, k=k, iters=8)
+    df2 = a2.to_pandas().sort_values("vec_id", ignore_index=True)
+    assert (df2.cluster.to_numpy() == lab).all()
