@@ -234,6 +234,45 @@ def q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def q_semantic_sample(sf_dir: str):
+    """Cluster-then-sample curation (the balanced semantic draw a
+    training-data pipeline runs after embedding): distributed k-means
+    cells (kmeans_embeddings) -> deterministic head-5 smallest vec_ids
+    per cell via the two-phase per-stratum top-k (each batch keeps its
+    own k per cell, one tiny groupby merges) — no per-cell group ever
+    materializes. Rows-only; determinism is the rows-only double-run
+    check plus the kmeans blob pytest."""
+    from consult_ray.stages.similarity import kmeans_embeddings
+
+    K = 5
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned, _cent = kmeans_embeddings(ds, CFG, k=8, iters=5)
+
+    def head_k(batch: pa.Table) -> pa.Table:
+        srt = batch.sort_by(
+            [("cluster", "ascending"), ("vec_id", "ascending")]
+        )
+        c = srt["cluster"].to_numpy(zero_copy_only=False)
+        if not len(c):
+            return srt
+        new = np.concatenate(([True], c[1:] != c[:-1]))
+        idx = np.arange(len(c))
+        run_start = idx[new]
+        rank = idx - np.repeat(
+            run_start, np.diff(np.append(run_start, len(c)))
+        )
+        return srt.filter(pa.array(rank < K))
+
+    # phase 2 over <= K * 8 rows per block: one more head_k on the
+    # merged survivors gives the global per-cell smallest-K
+    return (
+        assigned.map_batches(head_k, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head_k, batch_format="pyarrow")
+        .sort(["cluster", "vec_id"])
+    )
+
+
 def q_knn_cosine(sf_dir: str):
     """Exact cosine top-10 vs the embedding of vec_id 0 (similarity
     search baseline)."""
@@ -680,6 +719,7 @@ QUERIES = {
     "substring_pairs": q_substring_pairs,
     "knn_cosine": q_knn_cosine,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semantic_sample": q_semantic_sample,
     "dedup_edges": q_dedup_edges,
     "dedup_clusters": q_dedup_clusters,
     "fingerprints": q_fingerprints,
