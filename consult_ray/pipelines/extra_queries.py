@@ -32,6 +32,20 @@ def q_top_docs_by_chars(sf_dir: str):
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
 
 
+def q_source_top_docs(sf_dir: str):
+    """Grouped top-k: the 3 longest docs per source (n_chars desc,
+    doc_id tiebreak) with a 1-based rank — the "best k pages per
+    domain" curation primitive. The per-block combiner inside
+    operators.grouped_top_k bounds the shuffle to k rows per group per
+    block, so at 100 TB only ~k*n_blocks tiny rows per source move."""
+    from consult_ray.pipelines.operators import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return grouped_top_k(
+        ds, "source", [("n_chars", True), ("doc_id", False)], k=3
+    )
+
+
 def q_orders_by_month(sf_dir: str):
     """Temporal bucketing + grouped count + sort by key."""
     ds = _read(sf_dir, "orders", ["o_orderdate"])
@@ -1135,6 +1149,7 @@ EXTRA_QUERIES = {
     "heavy_hitter_words": q_heavy_hitter_words,
     "export_survivors": q_export_survivors,
     "top_docs_by_chars": q_top_docs_by_chars,
+    "source_top_docs": q_source_top_docs,
     "orders_by_month": q_orders_by_month,
     "deterministic_sample": q_deterministic_sample,
     "nation_order_value": q_nation_order_value,
@@ -1179,6 +1194,12 @@ EXTRA_ORACLE_SQL = {
     "top_docs_by_chars": (
         "SELECT doc_id, n_chars FROM documents "
         "ORDER BY n_chars DESC, doc_id LIMIT 20"
+    ),
+    "source_top_docs": (
+        "SELECT source, doc_id, n_chars, rank FROM ("
+        "SELECT source, doc_id, n_chars, row_number() OVER ("
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank "
+        "FROM documents) WHERE rank <= 3"
     ),
     "orders_by_month": (
         "SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n "

@@ -503,3 +503,83 @@ def preagg_group_sum(ds: Dataset, key: str, value: str, out_name: str) -> Datase
         .groupby(key)
         .aggregate(Sum(out_name, alias_name=out_name))
     )
+
+
+# ---------------------------------------------------------------------
+# grouped top-k (O1/O2 per-bucket sort + cap generalized to a relational
+# operator: the reference caps candidates per bucket with a sorted
+# prefix, main_search.cpp:866-894 / SURVEY §2.6; here: per-group ranked
+# head over arbitrary key/order columns — the "best k pages per domain"
+# curation primitive)
+# ---------------------------------------------------------------------
+
+def _top_k_batch(
+    tbl: pa.Table,
+    group_col: str,
+    order_by: list[tuple[str, bool]],
+    k: int,
+    rank_col: str | None,
+) -> pa.Table:
+    """Keep the first k rows of each group under (order_by, implicit
+    total order must be provided by the caller's tiebreak columns).
+    Vectorized: one multi-key sort, group boundaries from a shifted
+    not-equal, within-group rank by arange - repeat(starts)."""
+    n = tbl.num_rows
+    if n == 0:
+        return (
+            tbl.append_column(rank_col, pa.array([], pa.int64()))
+            if rank_col
+            else tbl
+        )
+    keys = [(group_col, "ascending")] + [
+        (c, "descending" if desc else "ascending") for c, desc in order_by
+    ]
+    s = tbl.take(pc.sort_indices(tbl, sort_keys=keys))
+    g = s.column(group_col).combine_chunks()
+    if n > 1:
+        neq = pc.fill_null(
+            pc.not_equal(g.slice(1), g.slice(0, n - 1)), True
+        ).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+    else:
+        starts = np.zeros(1, dtype=np.int64)
+    counts = np.diff(np.append(starts, n))
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+    keep = rank <= k
+    out = s.filter(pa.array(keep))
+    if rank_col:
+        out = out.append_column(rank_col, pa.array(rank[keep]))
+    return out
+
+
+def grouped_top_k(
+    ds: Dataset,
+    group_col: str,
+    order_by: list[tuple[str, bool]],
+    k: int,
+    rank_col: str | None = "rank",
+) -> Dataset:
+    """Per-group top-k rows under a deterministic order.
+
+    order_by: [(column, descending), ...]; the caller MUST include a
+    unique tiebreak column (e.g. doc_id) so ranks are well-defined.
+
+    Scale plan: a per-block vectorized combiner keeps at most k rows
+    per group BEFORE the shuffle, so the groupby moves <= k rows per
+    group per block (k * n_blocks worst-case group size, tiny width —
+    the same partial-then-final shape as preagg_group_sum); the final
+    map_groups re-ranks each bounded group. Only the group/order/keep
+    columns should be in `ds` — select before calling.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _top_k_batch(batch, group_col, order_by, k, None)
+
+    def final(grp: pa.Table) -> pa.Table:
+        return _top_k_batch(grp, group_col, order_by, k, rank_col)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -312,6 +312,32 @@ def q_dedup_clusters(sf_dir: str):
     return assign_clusters(docs, labels, CFG)
 
 
+def q_cluster_best_docs(sf_dir: str):
+    """Quality-aware near-dup survivor selection: one representative per
+    near-dup cluster, chosen as the LONGEST member (n_chars desc,
+    doc_id tiebreak) instead of min-id — the policy corpus curation
+    actually wants (keep the most complete variant of a page).
+    Composition: flagship LSH dedup -> connected components ->
+    assign_clusters (n_chars rides via keep_cols, text never enters the
+    label lookup) -> operators.grouped_top_k(k=1), whose per-block
+    combiner ships at most one 24 B row per cluster per block. Rows-only
+    driver check; tests/test_train_ops.py asserts per-cluster argmax
+    equality against a pandas brute force."""
+    from consult_ray.pipelines.operators import grouped_top_k
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    edges, _ = dup_edges(docs.select_columns(["doc_id", "text"]), CFG)
+    labels = connected_components(edges, CFG)
+    clustered = assign_clusters(
+        docs.select_columns(["doc_id", "n_chars"]), labels, CFG,
+        keep_cols=("n_chars",),
+    )
+    return grouped_top_k(
+        clustered, "cluster_id", [("n_chars", True), ("doc_id", False)],
+        k=1, rank_col=None,
+    )
+
+
 def q_fingerprints(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     fp = fingerprints(docs, CFG)
@@ -722,6 +748,7 @@ QUERIES = {
     "semantic_sample": q_semantic_sample,
     "dedup_edges": q_dedup_edges,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_best_docs": q_cluster_best_docs,
     "fingerprints": q_fingerprints,
     "lang_id": q_lang_id,
     "doc_content_hashes": q_doc_content_hashes,

@@ -229,3 +229,94 @@ def test_shuffle_shards_is_seeded_permutation(ray_session):
     assert a_s.equals(b.sort_values("doc_id", ignore_index=True))
     c_s = c.sort_values("doc_id", ignore_index=True)
     assert not a_s[["shard", "pos"]].equals(c_s[["shard", "pos"]])
+
+
+# --- grouped top-k ---------------------------------------------------
+
+
+def test_top_k_batch_matches_pandas_rank():
+    import pandas as pd
+
+    from consult_ray.pipelines.operators import _top_k_batch
+
+    rng = np.random.default_rng(11)
+    n = 500
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 17, n).astype(str)),
+        "v": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "id": pa.array(rng.permutation(n).astype(np.int64)),
+    })
+    got = _top_k_batch(
+        t, "g", [("v", True), ("id", False)], k=3, rank_col="rank"
+    ).to_pandas().sort_values(["g", "rank"], ignore_index=True)
+    df = t.to_pandas().sort_values(
+        ["g", "v", "id"], ascending=[True, False, True], ignore_index=True
+    )
+    df["rank"] = df.groupby("g").cumcount() + 1
+    want = df[df["rank"] <= 3].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_top_k_split_invariant(ray_session):
+    """The per-block partial must not change the final ranking: the
+    distributed result over many tiny blocks equals the single-batch
+    kernel result."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from consult_ray.pipelines.operators import _top_k_batch, grouped_top_k
+
+    rng = np.random.default_rng(13)
+    n = 1000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 11, n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+        "id": pa.array(rng.permutation(n).astype(np.int64)),
+    })
+    order = [("v", True), ("id", False)]
+    ds = rd.from_arrow(t).repartition(23)
+    got = (
+        grouped_top_k(ds, "g", order, k=4)
+        .to_pandas()
+        .sort_values(["g", "rank"], ignore_index=True)
+    )
+    want = (
+        _top_k_batch(t, "g", order, k=4, rank_col="rank")
+        .to_pandas()
+        .sort_values(["g", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cluster_best_docs_matches_bruteforce(ray_session):
+    """Per-cluster argmax (n_chars desc, doc_id tiebreak) equality with
+    a pandas brute force over the SAME cluster labels."""
+    import pandas as pd
+
+    from consult_ray.pipelines.queries import (
+        CFG,
+        _read,
+        q_cluster_best_docs,
+        q_dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_cluster_best_docs(sf)
+        .to_pandas()
+        .sort_values("cluster_id", ignore_index=True)
+    )
+    labels = q_dedup_clusters(sf).to_pandas()[["doc_id", "cluster_id"]]
+    chars = _read(sf, "documents", ["doc_id", "n_chars"]).to_pandas()
+    df = labels.merge(chars, on="doc_id").sort_values(
+        ["cluster_id", "n_chars", "doc_id"],
+        ascending=[True, False, True],
+    )
+    want = df.groupby("cluster_id", as_index=False).first()[
+        ["doc_id", "n_chars", "cluster_id"]
+    ].sort_values("cluster_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )
