@@ -1145,8 +1145,64 @@ def q_heavy_hitter_words(sf_dir: str):
     )
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Per-document top-3 salient terms under (tf desc, df asc, token
+    asc) — an integer-ordered TF-IDF surrogate ("most frequent rarest
+    term", the keyword-extraction op of a curation pipeline) kept
+    bit-exact by never forming a float idf.
+
+    Plan shape at 100 TB: tf is computed ENTIRELY inside map_batches (a
+    doc never spans rows, so the (doc_id, token) count is row-local —
+    zero shuffle); df pre-aggregates one row per distinct token per
+    block, then ONE groupby(token) over ~vocab-size rows; one hash join
+    tf x df on token; grouped_top_k's combiner then bounds the final
+    doc_id shuffle to <=3 rows per doc per block. The text column never
+    leaves the tokenize stage."""
+    from consult_ray.pipelines.operators import grouped_top_k
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch["text"], pattern=" ")
+        n = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = pa.table({
+            "doc_id": pa.array(np.repeat(ids, n.astype(np.int64))),
+            "token": pc.list_flatten(split),
+            "one": pa.array(np.ones(int(n.sum()), np.int64)),
+        })
+        return grouped(flat, ["doc_id", "token"], [("one", "sum")], ["tf"])
+
+    tf_ds = docs.map_batches(tf_batch, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # tf rows are globally unique per (doc, token) — each doc lives
+        # in exactly one input row — so per-block distinct-doc counts
+        # sum to the true document frequency.
+        t = batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, np.int64))
+        )
+        return grouped(t.select(["token", "one"]), ["token"],
+                       [("one", "sum")], ["df"])
+
+    df_ds = (
+        tf_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    joined = tf_ds.join(
+        df_ds, "inner", resolve_join_partitions(CFG), on=("token",)
+    )
+    return grouped_top_k(
+        joined, "doc_id",
+        [("tf", True), ("df", False), ("token", False)], k=3,
+    )
+
+
 EXTRA_QUERIES = {
     "heavy_hitter_words": q_heavy_hitter_words,
+    "doc_top_terms": q_doc_top_terms,
     "export_survivors": q_export_survivors,
     "top_docs_by_chars": q_top_docs_by_chars,
     "source_top_docs": q_source_top_docs,
@@ -1194,6 +1250,18 @@ EXTRA_ORACLE_SQL = {
     "top_docs_by_chars": (
         "SELECT doc_id, n_chars FROM documents "
         "ORDER BY n_chars DESC, doc_id LIMIT 20"
+    ),
+    "doc_top_terms": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, token), "
+        "df AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY token) "
+        "SELECT doc_id, token, tf, df, rank FROM ("
+        "SELECT tf.doc_id, tf.token, tf.tf, df.df, row_number() OVER ("
+        "PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df, tf.token) AS rank "
+        "FROM tf JOIN df USING (token)) WHERE rank <= 3"
     ),
     "source_top_docs": (
         "SELECT source, doc_id, n_chars, rank FROM ("
