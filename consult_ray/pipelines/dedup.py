@@ -688,29 +688,35 @@ def dup_edges(
 ) -> tuple[Dataset, dict]:
     """End-to-end: documents -> verified dup edges. Returns (edges, stats).
 
-    `bands` is materialized before the self-join: the join consumes it
-    twice, and re-running fingerprinting twice would double the dominant
-    compute. In the checkpointed pipeline (pipelines.checkpointed) this
-    materialization is a parquet stage boundary instead.
+    `bands` is ALWAYS materialized before the candidate stage — even on
+    the fused-cap path where it has only one logical consumer: this Ray
+    version's sort-shuffle re-executes a lazy upstream for its sampling
+    pass, so streaming fingerprints into the shuffle re-runs the
+    dominant compute (measured 31 s -> 104-119 s on the 1.2M-doc bench
+    phase at 8 CPUs — strictly worse, do not "optimize" this away).
+    The census/split passes and the join strategy consume it more than
+    once anyway. In the checkpointed pipeline (pipelines.checkpointed)
+    the materialization is a parquet stage boundary instead.
 
     eager_stats: whether the cap stage materializes + counts to report
     dropped_band_rows (see capped_band_rows). Default: lazy under the
-    single-consumer "group" candidate strategy (the cap split fuses into
-    the candidate shuffle's map side), eager under "join" (which
-    consumes its input twice and must not re-run the split scans).
+    single-consumer "group" candidate strategy (the cap fuses into the
+    candidate shuffle's map side), eager under "join" (which consumes
+    its input twice and must not re-run the split scans).
     """
     fp = fingerprints(docs, cfg, text_col=text_col, id_col=id_col)
     bands = band_rows(fp, cfg, kinds=kinds).materialize()
     stats: dict = {"dropped_band_rows": 0, "hot_keys": 0}
     if eager_stats is None:
         eager_stats = cfg.candidate_strategy != "group"
-    if (
+    fused = (
         census
         and not eager_stats  # dropped_band_rows reporting needs the census
         and cfg.census_mode == "sketch"
         and cfg.hot_policy == "cap"
         and cfg.candidate_strategy == "group"
-    ):
+    )
+    if fused:
         # fused cap: the candidate shuffle already co-locates every
         # band_key's rows, so the O4 cap applies inside the expansion
         # with no census pass, no cold/hot split, no extra shuffle —
