@@ -261,6 +261,50 @@ def _pagerank_sql() -> str:
 _SQL_PAGERANK = _pagerank_sql()
 
 
+def q_authority_top_docs(sf_dir: str):
+    """Authority-weighted curation: rank docs by their host's PageRank
+    (ties: n_chars desc, then doc_id) and keep the global top-20 — the
+    crawl-frontier-priority composition, a graph metric feeding a
+    curation decision. The pr table is one row per HOST (bounded by the
+    domain count, ~10^7-10^8 at web scale, not doc count), so it ships
+    once via ray.put as a sorted lookup array (the assign_clusters
+    broadcast shape) and the doc table never shuffles; the tail is a
+    sort + limit on 24 B rows. Inner-join semantics mirror the SQL
+    oracle: docs whose host is absent from the link graph drop."""
+    import ray
+
+    pr = q_host_pagerank(sf_dir).to_pandas().sort_values("host")
+    hosts = pr["host"].to_numpy(dtype=object).astype(str)
+    ranks = pr["pr"].to_numpy().astype(np.int64)
+    ref = ray.put((hosts, ranks))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        h, v = ray.get(ref)
+        src = np.asarray(
+            batch["source"].cast(pa.string()).to_pylist(), dtype=object
+        ).astype(str)
+        idx = np.searchsorted(h, src)
+        idx_c = np.minimum(idx, len(h) - 1)
+        ok = (idx < len(h)) & (h[idx_c] == src)
+        out = batch.filter(pa.array(ok))
+        return out.append_column("pr", pa.array(v[idx_c[ok]]))
+
+    return (
+        docs.map_batches(attach, batch_format="pyarrow")
+        .sort(["pr", "n_chars", "doc_id"], descending=[True, True, False])
+        .limit(20)
+    )
+
+
+_SQL_AUTHORITY_TOP = (
+    f"SELECT d.doc_id, d.source, d.n_chars, p.pr FROM documents d "
+    f"JOIN ({_SQL_PAGERANK}) p ON CAST(d.source AS VARCHAR) = p.host "
+    "ORDER BY p.pr DESC, d.n_chars DESC, d.doc_id LIMIT 20"
+)
+
+
 # --- model-inference quality gate ---------------------------------------
 
 def q_quality_classifier(sf_dir: str):
@@ -579,6 +623,7 @@ TRAIN_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pages_links": q_pages_links,
     "host_pagerank": q_host_pagerank,
+    "authority_top_docs": q_authority_top_docs,
     "shuffle_shards": q_shuffle_shards,
     "quality_classifier": q_quality_classifier,
 }
@@ -587,6 +632,7 @@ TRAIN_ORACLE_SQL = {
     "pack_sequences": _SQL_PACK,
     "pages_links": _SQL_LINKS,
     "host_pagerank": _SQL_PAGERANK,
+    "authority_top_docs": _SQL_AUTHORITY_TOP,
     "shuffle_shards": _SQL_SHUFFLE,
     "docs_from_fasta": _SQL_FASTA,
     "docs_from_fastq": _SQL_FASTQ,
