@@ -705,7 +705,7 @@ def dup_edges(
     its input twice and must not re-run the split scans).
     """
     fp = fingerprints(docs, cfg, text_col=text_col, id_col=id_col)
-    bands = band_rows(fp, cfg, kinds=kinds).materialize()
+    bands = band_rows(fp, cfg, kinds=kinds)
     stats: dict = {"dropped_band_rows": 0, "hot_keys": 0}
     if eager_stats is None:
         eager_stats = cfg.candidate_strategy != "group"
@@ -716,6 +716,12 @@ def dup_edges(
         and cfg.hot_policy == "cap"
         and cfg.candidate_strategy == "group"
     )
+    if fused and cfg.collision_threshold <= 1:
+        # band identity never rides at c=1 (candidate_edges prunes it
+        # anyway) — prune BEFORE the materialize so the object store
+        # holds 24 B rows instead of 27 B
+        bands = bands.select_columns(["band_key", "doc_id", "simhash"])
+    bands = bands.materialize()
     if fused:
         # fused cap: the candidate shuffle already co-locates every
         # band_key's rows, so the O4 cap applies inside the expansion
