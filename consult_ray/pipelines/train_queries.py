@@ -529,17 +529,24 @@ _SQL_CHUNKS = (
 
 def q_knn_recall(sf_dir: str):
     """Eval harness for the approximate similarity paths: overlap@10 of
-    the hyperplane-LSH and IVF top-k against the exact brute-force
-    top-k for the same query vector. Deterministic (seeded planes /
-    k-means); rows-only. The flagship LSH near-dup path has its own
-    recall>=0.99 pytest — this surfaces ANN quality as data."""
+    the hyperplane-LSH, IVF and product-quantization top-k against the
+    exact brute-force top-k for the same query vector. Deterministic
+    (seeded planes / k-means / codebooks); rows-only. The flagship LSH
+    near-dup path has its own recall>=0.99 pytest — this surfaces ANN
+    quality as data."""
     import pandas as pd
 
-    from consult_ray.pipelines.queries import q_knn_cosine, q_knn_ivf, q_knn_lsh
+    from consult_ray.pipelines.queries import (
+        q_knn_cosine,
+        q_knn_ivf,
+        q_knn_lsh,
+        q_knn_pq,
+    )
 
     brute = set(q_knn_cosine(sf_dir).to_pandas()["vec_id"])
     rows = []
-    for method, q in (("lsh", q_knn_lsh), ("ivf", q_knn_ivf)):
+    for method, q in (("lsh", q_knn_lsh), ("ivf", q_knn_ivf),
+                      ("pq", q_knn_pq)):
         approx = set(q(sf_dir).to_pandas()["vec_id"])
         rows.append({
             "method": method,
