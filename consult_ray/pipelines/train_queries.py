@@ -54,6 +54,88 @@ _SQL_PACK = (
 )
 
 
+# --- global total-order statistics (curriculum / budget head) ----------
+
+_TOKEN_BUDGET = 12_000  # ~45% of the sf0.01 corpus's 27k tokens
+
+
+def _ordered_token_stats(sf_dir: str):
+    """(doc_id, n_tokens, n_chars) plus exact global rank and running
+    token sum in (n_chars DESC, doc_id ASC) order — one pass of
+    stages/order.global_order_stats over a negated-length sort key."""
+    from consult_ray.stages.order import global_order_stats
+    from consult_ray.stages.text import token_count_batch
+
+    def stats(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch)
+        neg = pc.negate_checked(t["n_chars2"])
+        return pa.table({
+            "neg_chars": neg,
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+        })
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    narrow = docs.map_batches(stats, batch_format="pyarrow")
+    return global_order_stats(
+        narrow, "neg_chars", "doc_id", "n_tokens", cfg=CFG
+    )
+
+
+def q_curriculum_rank(sf_dir: str):
+    """Exact 1-based curriculum rank per doc (longest first, doc_id
+    tiebreak) — the deterministic data-ordering step before a training
+    run. Distributed sample-sort rank assignment: no task ever holds
+    the corpus, ranks are boundary-independent (stages/order.py)."""
+    ordered = _ordered_token_stats(sf_dir)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.negate_checked(batch["neg_chars"]),
+            "rank": batch["rank"],
+        })
+
+    return ordered.map_batches(out, batch_format="pyarrow")
+
+
+def q_token_budget_head(sf_dir: str):
+    """Token-budget head selection: keep the longest docs whose
+    inclusive running token sum stays within a fixed training budget —
+    exact distributed prefix sum over the curriculum order, int64
+    arithmetic end to end (the SQL twin is a window SUM)."""
+    ordered = _ordered_token_stats(sf_dir)
+
+    def head(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["running"], _TOKEN_BUDGET)
+        kept = batch.filter(keep)
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "n_tokens": kept["n_tokens"],
+            "running": kept["running"],
+        })
+
+    return ordered.map_batches(head, batch_format="pyarrow")
+
+
+_SQL_CURRICULUM = (
+    "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+    "(row_number() OVER (ORDER BY length(text) DESC, doc_id))::BIGINT "
+    "AS rank FROM documents"
+)
+
+_SQL_BUDGET_HEAD = (
+    "WITH t AS (SELECT doc_id, "
+    "len(string_split(text, ' '))::BIGINT AS n_tokens, "
+    "length(text) AS n_chars FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, "
+    # CAST: the window SUM is HUGEINT -> pandas float -> hash mismatch
+    "CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running FROM t) "
+    f"SELECT doc_id, n_tokens, running FROM c WHERE running <= {_TOKEN_BUDGET}"
+)
+
+
 # --- outlink census ----------------------------------------------------
 
 def _decorate_link_html(batch: pa.Table) -> pa.Table:
@@ -633,6 +715,8 @@ TRAIN_QUERIES = {
     "authority_top_docs": q_authority_top_docs,
     "shuffle_shards": q_shuffle_shards,
     "quality_classifier": q_quality_classifier,
+    "curriculum_rank": q_curriculum_rank,
+    "token_budget_head": q_token_budget_head,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -645,4 +729,6 @@ TRAIN_ORACLE_SQL = {
     "docs_from_fastq": _SQL_FASTQ,
     "quality_features": _SQL_QUALITY_FEATURES,
     "doc_chunks": _SQL_CHUNKS,
+    "curriculum_rank": _SQL_CURRICULUM,
+    "token_budget_head": _SQL_BUDGET_HEAD,
 }
