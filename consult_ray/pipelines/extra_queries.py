@@ -146,6 +146,145 @@ def q_nation_order_value(sf_dir: str):
     )
 
 
+def q_region_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped 6-table join: local-supplier revenue per
+    (region, nation) for one order year. The deepest join plan in the
+    registry, every fan-in shrunk before it moves:
+
+      lineitem --map_batches--> (orderkey, s_nation, cents) partials
+        [supplier resolved via ray.put dense broadcast; revenue is
+         integer cents PER ROW so every later sum is associative]
+      ⋈ orders (year-filtered at the read; projected to 16 B rows)
+      --per-batch partial--> (custkey, s_nation, cents)
+      ⋈ customer           [the only two hash shuffles are the two
+                            big-side joins; nation/region never move]
+      --filter c_nation == s_nation--> broadcast nation/region names
+      --per-batch partial + one tiny groupby--> (r_name, n_name, cents)
+
+    At 100 TB: supplier is ~10^6 narrow rows (broadcastable), lineitem
+    partials cap at ~suppliers-per-order rows per order, and both joins
+    key on already-reduced 24 B rows — text-free and skew-safe."""
+    import ray
+
+    from consult_ray.util import grouped
+
+    # small dims -> dense driver arrays, ray.put once
+    sup = pa.concat_tables(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    s_nat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    s_nat[skeys] = sup["s_nationkey"].to_numpy(zero_copy_only=False)
+    nat = pa.concat_tables(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    reg = pa.concat_tables(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    nkeys = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    n_name = np.empty(int(nkeys.max()) + 1, dtype=object)
+    n_name[nkeys] = nat["n_name"].to_pylist()
+    rkeys = reg["r_regionkey"].to_numpy(zero_copy_only=False)
+    r_by_region = np.empty(int(rkeys.max()) + 1, dtype=object)
+    r_by_region[rkeys] = reg["r_name"].to_pylist()
+    r_name = np.empty_like(n_name)
+    r_name[nkeys] = r_by_region[
+        nat["n_regionkey"].to_numpy(zero_copy_only=False)
+    ]
+    dims_ref = ray.put((s_nat, n_name, r_name))
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"]
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        s_nat_arr, _, _ = ray.get(dims_ref)
+        # cents per ROW, identical float64 op order to the oracle's
+        # round(l_extendedprice * (1 - l_discount) * 100)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(batch["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0),
+                                            batch["l_discount"])),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        snat = s_nat_arr[batch["l_suppkey"].to_numpy(zero_copy_only=False)]
+        return grouped(
+            pa.table({
+                "l_orderkey": batch["l_orderkey"],
+                "s_nation": pa.array(snat),
+                "cents": cents,
+            }),
+            ["l_orderkey", "s_nation"], [("cents", "sum")], ["cents"],
+        )
+
+    li = lineitem.map_batches(li_partial, batch_format="pyarrow")
+
+    import pyarrow.dataset as pads
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderdate") >= pa.scalar(
+                np.datetime64("1996-01-01", "us")))
+            & (pads.field("o_orderdate") < pa.scalar(
+                np.datetime64("1997-01-01", "us")))
+        ),
+    ).select_columns(["o_orderkey", "o_custkey"])
+
+    j1 = li.join(
+        orders, "inner", resolve_join_partitions(CFG),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        return grouped(
+            batch.select(["o_custkey", "s_nation", "cents"]),
+            ["o_custkey", "s_nation"], [("cents", "sum")], ["cents"],
+        )
+
+    per_cust = j1.map_batches(cust_partial, batch_format="pyarrow")
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = per_cust.join(
+        customer, "inner", resolve_join_partitions(CFG),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def localize(batch: pa.Table) -> pa.Table:
+        _, n_name_arr, r_name_arr = ray.get(dims_ref)
+        keep = pc.equal(batch["c_nationkey"],
+                        batch["s_nation"].cast(pa.int64()))
+        kept = batch.filter(keep)
+        nk = kept["c_nationkey"].to_numpy(zero_copy_only=False)
+        return grouped(
+            pa.table({
+                "r_name": pa.array(r_name_arr[nk], pa.string()),
+                "n_name": pa.array(n_name_arr[nk], pa.string()),
+                "revenue_cents": kept["cents"],
+            }),
+            ["r_name", "n_name"], [("revenue_cents", "sum")],
+            ["revenue_cents"],
+        )
+
+    return (
+        j2.map_batches(localize, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
 # --- minimizer (M1 analog) -------------------------------------------
 
 def minimizers_dataset(ds, k: int = 16, text_col: str = "text",
@@ -1209,6 +1348,7 @@ EXTRA_QUERIES = {
     "orders_by_month": q_orders_by_month,
     "deterministic_sample": q_deterministic_sample,
     "nation_order_value": q_nation_order_value,
+    "region_revenue": q_region_revenue,
     "minimizers": q_minimizers,
     "union_langs": q_union_langs,
     "sessionized_events": q_sessionized_events,
@@ -1372,6 +1512,24 @@ EXTRA_ORACLE_SQL = {
         "AS total_cents, count(*) AS n_orders "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    # region_revenue: cents are rounded to int64 per lineitem ROW before
+    # any sum (associative; bit-exact vs the Arrow kernel's identical
+    # (ext * (1-disc)) * 100 op order + half-away rounding)
+    "region_revenue": (
+        "SELECT r.r_name, n.n_name, "
+        "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "AND c.c_nationkey = s.s_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY r.r_name, n.n_name"
     ),
     "union_langs": (
         "SELECT lang, count(*) AS n FROM ("

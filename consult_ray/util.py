@@ -37,10 +37,19 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
     if "filter" in kw:
         # a row filter binds against the OVERRIDE schema, which is
         # pre-projected to `columns`; filter fields outside the
-        # projection would fail to bind. Skip the override — filtered
-        # reads keep their native schema (metadata hashing only hurts
-        # wide shuffles, which filtered micro-reads don't feed).
-        return rd.read_parquet(path, columns=columns, **kw)
+        # projection would fail to bind. Skip the override and strip
+        # metadata per block instead (zero-copy table rebuild — arrays
+        # are shared), so filtered reads can still feed hash shuffles
+        # without the per-block 'Failed to hash the schemas' slow path.
+        def _strip_meta(batch: pa.Table) -> pa.Table:
+            clean = pa.schema(
+                [f.remove_metadata() for f in batch.schema], metadata=None
+            )
+            return pa.table(batch.columns, schema=clean)
+
+        return rd.read_parquet(path, columns=columns, **kw).map_batches(
+            _strip_meta, batch_format="pyarrow"
+        )
 
     schema = None
     try:
