@@ -670,6 +670,87 @@ def q_lm_score(sf_dir: str):
     ).select_columns(["doc_id", "lm_logprob"])
 
 
+# --- BPE tokenizer training (stages/bpe.py) --------------------------------
+
+_BPE_MERGES = 48
+_BPE_MAX_WORDS = 4096
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """Round-0 BPE statistics: top-50 adjacent-char pairs over every
+    word occurrence (count desc, pair asc). The per-batch kernel folds
+    the word census INTO the block (value_counts, then one weighted
+    vectorized pair scan over the concatenated codepoints), so the only
+    shuffle is the alphabet^2-bounded (pair, n) groupby. SQL-checked:
+    packed uint64 pair order == (left, right) binary collation."""
+    from consult_ray.stages.bpe import pair_counts, pair_strings
+
+    docs = _read(sf_dir, "documents", ["text"])
+    top = (
+        pair_counts(docs)
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(50)
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return pair_strings(batch).select(["left", "right", "n"])
+
+    return top.map_batches(expand, batch_format="pyarrow")
+
+
+def q_bpe_vocab(sf_dir: str):
+    """Trained BPE merge table (rank, left, right, token, n): ONE
+    distributed census pass shrinks the corpus to its distinct-word
+    frequency table, the greedy merge loop then runs over the bounded
+    top-`max_words` slice only (the census-then-local-merges shape every
+    production tokenizer trainer uses at scale). Rows-only;
+    tests/test_bpe.py pins every (rank, pair, count) to a brute-force
+    per-word reference implementation."""
+    from consult_ray.stages.bpe import train_bpe, word_census
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return train_bpe(
+        word_census(docs), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+    )
+
+
+def q_bpe_encode(sf_dir: str):
+    """Fixed-table BPE encoding of the whole corpus: train once on the
+    census (driver-side bounded merge loop), then an actor pool applies
+    the merge table to every block — the reference's build-table-once /
+    stream-reads-against-it shape (main_map.cpp builds,
+    main_search.cpp:704-894 consumes). Emits (doc_id, n_tokens,
+    n_words, n_chars); merges compile once per actor in __init__.
+    Rows-only; tests/test_bpe.py asserts n_tokens equals the brute
+    per-doc encoder and the n_words/n_chars columns are SQL-trivial."""
+    from consult_ray.stages.bpe import BpeEncoder, train_bpe, word_census
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(
+        word_census(docs), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+    )
+    return docs.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs=dict(merges=merges),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+_SQL_BPE_PAIRS = (
+    "WITH words AS ("
+    "SELECT unnest(string_split(text, ' ')) AS w FROM documents"
+    "), nz AS (SELECT w FROM words WHERE w <> ''), "
+    "pairs AS ("
+    "SELECT substring(w, n.i, 1) AS \"left\", "
+    "substring(w, n.i + 1, 1) AS \"right\" "
+    "FROM nz JOIN (SELECT CAST(range AS INT) AS i FROM range(1, 65536)) n "
+    "ON n.i < length(w)) "
+    "SELECT \"left\", \"right\", CAST(count(*) AS BIGINT) AS n "
+    "FROM pairs GROUP BY 1, 2 ORDER BY n DESC, 1, 2 LIMIT 50"
+)
+
+
 # --- lineage / metrics surface ------------------------------------------
 
 def q_pipeline_lineage(sf_dir: str):
@@ -717,6 +798,9 @@ TRAIN_QUERIES = {
     "quality_classifier": q_quality_classifier,
     "curriculum_rank": q_curriculum_rank,
     "token_budget_head": q_token_budget_head,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_vocab": q_bpe_vocab,
+    "bpe_encode": q_bpe_encode,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -731,4 +815,5 @@ TRAIN_ORACLE_SQL = {
     "doc_chunks": _SQL_CHUNKS,
     "curriculum_rank": _SQL_CURRICULUM,
     "token_budget_head": _SQL_BUDGET_HEAD,
+    "bpe_pair_counts": _SQL_BPE_PAIRS,
 }
