@@ -550,6 +550,73 @@ _SQL_QUALITY_FEATURES = (
 )
 
 
+def q_ttr_stats(sf_dir: str):
+    """Per-doc type-token statistics — n_tokens (non-empty words),
+    n_types (distinct words), n_hapax (words occurring once in the doc)
+    — the integer inputs of type-token-ratio / vocabulary-growth
+    quality heuristics (the float ratio stays derived, like
+    quality_scores). The distinct fold runs INSIDE the batch with one
+    Arrow group_by over (row, word): doc-bounded, zero shuffle."""
+    from consult_ray.util import grouped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n_per = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        tok_doc = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), n_per
+        )[keep]
+        pairs = pa.table({
+            "d": pa.array(tok_doc),
+            "w": pa.chunked_array([flat]).combine_chunks().filter(
+                pa.array(keep)
+            ),
+            "one": pa.array(np.ones(len(tok_doc), dtype=np.int64)),
+        })
+        per = grouped(pairs, ["d", "w"], [("one", "sum")], ["c"])
+        d = per["d"].to_numpy(zero_copy_only=False)
+        c = per["c"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(
+                np.bincount(tok_doc, minlength=n).astype(np.int64)
+            ),
+            "n_types": pa.array(
+                np.bincount(d, minlength=n).astype(np.int64)
+            ),
+            "n_hapax": pa.array(
+                np.bincount(d[c == 1], minlength=n).astype(np.int64)
+            ),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_TTR = (
+    "WITH nz AS ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+    "), g AS ("
+    "SELECT doc_id, w, count(*) AS c FROM nz WHERE w <> '' GROUP BY 1, 2"
+    "), agg AS ("
+    "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax "
+    "FROM g GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, "
+    "COALESCE(a.n_types, 0) AS n_types, "
+    "COALESCE(a.n_hapax, 0) AS n_hapax "
+    "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+)
+
+
 # --- context-window chunking ---------------------------------------------
 
 _CHUNK_W = 128   # window tokens
@@ -801,6 +868,7 @@ TRAIN_QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_vocab": q_bpe_vocab,
     "bpe_encode": q_bpe_encode,
+    "ttr_stats": q_ttr_stats,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -816,4 +884,5 @@ TRAIN_ORACLE_SQL = {
     "curriculum_rank": _SQL_CURRICULUM,
     "token_budget_head": _SQL_BUDGET_HEAD,
     "bpe_pair_counts": _SQL_BPE_PAIRS,
+    "ttr_stats": _SQL_TTR,
 }
