@@ -23,6 +23,9 @@ Modes (one per reference binary, plus the flagship pipeline):
     and append is order-free + idempotent.
   * minimize: main_minimization analog — per-doc lexicographically
     smallest k-window (k=16), written as parquet under --workdir.
+  * train-bpe: BPE tokenizer training (stages/bpe.py: distributed word
+    census → bounded greedy merge loop); merge table written as
+    parquet under --workdir (--bpe-merges / --bpe-max-words).
   * library-stats: occupancy report over a persisted library (the
     reference's build-time histogram, main_map.cpp:1167-1197).
 
@@ -51,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
                          "mode except library-stats")
     ap.add_argument("--mode",
                     choices=["dedup", "build-library", "search-library",
-                             "ingest", "minimize", "library-stats"],
+                             "ingest", "minimize", "train-bpe",
+                             "library-stats"],
                     default="dedup")
     ap.add_argument("--library", default=None,
                     help="band-table library dir (build-library output / "
@@ -64,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
                          "pinned extract_text stage first (pages-table "
                          "input per BASELINE.json input_hint)")
     ap.add_argument("--hot-policy", choices=["cap", "salt"], default="cap")
+    ap.add_argument("--bpe-merges", type=int, default=4096,
+                    help="train-bpe: number of greedy merge rounds")
+    ap.add_argument("--bpe-max-words", type=int, default=1 << 20,
+                    help="train-bpe: top-V distinct-word cap for the "
+                         "driver-side merge loop (count desc, word asc)")
     ap.add_argument("--census-mode", choices=["sketch", "exact"], default="sketch")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the workdir's checkpoints (the "
@@ -219,6 +228,26 @@ def main(argv: list[str] | None = None) -> int:
         n = out.count()
         print(f"== minimized {n} docs in {time.time() - t0:.1f}s; "
               f"parquet under {args.workdir}/minimizers ==")
+        return 0
+
+    if args.mode == "train-bpe":
+        # docs prepared above: --text-col honored, pinned extraction
+        # already applied when --html-col is given
+        import pyarrow.parquet as pq
+
+        from consult_ray.stages.bpe import train_bpe, word_census
+
+        t0 = time.time()
+        merges = train_bpe(
+            word_census(docs, text_col=args.text_col),
+            n_merges=args.bpe_merges,
+            max_words=args.bpe_max_words,
+        )
+        os.makedirs(args.workdir, exist_ok=True)
+        out_path = os.path.join(args.workdir, "bpe_merges.parquet")
+        pq.write_table(merges, out_path)
+        print(f"== trained {merges.num_rows} BPE merges in "
+              f"{time.time() - t0:.1f}s; merge table at {out_path} ==")
         return 0
 
     if args.mode == "build-library":
