@@ -162,10 +162,24 @@ def train_bpe(
     Bounded driver intake: only the top `max_words` words by (n desc,
     word asc) leave the cluster — the standard coverage cap (dropped
     tail words still encode fine, just as base symbols + earlier
-    merges). Returns (rank, left, right, token, n) with one row per
-    merge in training order."""
-    top = census.sort(["n", "word"], descending=[True, False]).limit(
-        max_words
+    merges). A per-block top-V combiner prunes BEFORE the global sort,
+    so the sort shuffles <= V rows per block instead of the whole
+    vocabulary (the grouped_top_k plan shape, here with one group).
+    Returns (rank, left, right, token, n) with one row per merge in
+    training order."""
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= max_words:
+            return batch
+        idx = pa.compute.sort_indices(
+            batch, sort_keys=[("n", "descending"), ("word", "ascending")]
+        )
+        return batch.take(idx.slice(0, max_words))
+
+    top = (
+        census.map_batches(block_top, batch_format="pyarrow")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(max_words)
     )
     parts = list(top.iter_batches(batch_size=max_words,
                                   batch_format="pyarrow"))
