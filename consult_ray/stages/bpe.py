@@ -266,7 +266,8 @@ class BpeEncoder:
     compiled ONCE per actor in __init__ (the reference's resident
     fixed-table consumer shape, main_search.cpp:704-707); __call__ runs
     the same vectorized merge kernel as training, one pass per merge
-    rank over the whole batch."""
+    rank over the batch's DISTINCT words (dictionary-encoded; encoding
+    is word-local, so occurrences share their word's tokenization)."""
 
     def __init__(self, merges: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id"):
@@ -308,9 +309,20 @@ class BpeEncoder:
             doc_of_word[nonempty], minlength=len(batch)
         ).astype(np.int64)
 
-        cps, offs = _codepoints(flat)
+        # encode each DISTINCT word once (encoding is word-local, so
+        # occurrences share their word's tokenization): merge-loop work
+        # scales with the batch's vocabulary, not its token count
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        uniq = enc.dictionary
+        occ_of_word = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+
+        cps, offs = _codepoints(uniq)
         seq = cps.astype(np.uint64)
-        stream = np.repeat(np.arange(len(flat), dtype=np.int64),
+        stream = np.repeat(np.arange(len(uniq), dtype=np.int64),
                            np.diff(offs))
         for a, b, pid in self.merge_ids:
             if len(seq) > 1:
@@ -330,13 +342,14 @@ class BpeEncoder:
                     seq = seq[keep]
                     stream = stream[keep]
 
-        # tokens per word stream -> tokens per doc
-        per_word = np.bincount(stream, minlength=len(flat)).astype(
+        # tokens per distinct word -> per occurrence -> per doc
+        per_uniq = np.bincount(stream, minlength=len(uniq)).astype(
             np.int64
         )
         doc_of_stream = doc_of_word[nonempty]
         n_tokens = np.bincount(
-            doc_of_stream, weights=per_word.astype(np.float64),
+            doc_of_stream,
+            weights=per_uniq[occ_of_word].astype(np.float64),
             minlength=len(batch),
         ).astype(np.int64)
         return pa.table({
