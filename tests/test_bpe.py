@@ -139,6 +139,51 @@ def test_pair_counts_match_dict_census(ray_session):
     assert dict(zip(got["pair"].astype(np.uint64), got["n"])) == want
 
 
+# --- property tests (hypothesis) -------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+# tiny alphabet forces count ties, overlap runs, and product reuse
+_word = st.text(alphabet="abé", min_size=1, max_size=6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    words=st.lists(_word, min_size=1, max_size=25),
+    n_merges=st.integers(min_value=1, max_value=10),
+)
+def test_train_matches_brute_property(ray_session, words, n_merges):
+    """For arbitrary tie/overlap-heavy corpora the distributed trainer
+    must emit exactly the brute per-word trainer's merge table."""
+    text = " ".join(words)
+    ds = rd.from_arrow(pa.table({"text": [text]}))
+    got = _merge_rows(train_bpe(word_census(ds), n_merges=n_merges,
+                                max_words=1000))
+    want, _ = _brute_train(_brute_counts([text]), n_merges)
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(words=st.lists(_word, min_size=1, max_size=25))
+def test_encoder_matches_brute_property(ray_session, words):
+    """Encoder token counts equal the brute reference encoding under
+    the trained table, for arbitrary corpora."""
+    text = " ".join(words)
+    counts = _brute_counts([text])
+    _, syms = _brute_train(counts, 8)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([text]),
+    }))
+    merges = train_bpe(word_census(ds), n_merges=8, max_words=1000)
+    out = (
+        ds.map_batches(BpeEncoder, fn_constructor_kwargs=dict(merges=merges),
+                       batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert out.n_tokens[0] == sum(len(syms[w]) for w in words)
+
+
 def test_product_string_canonicalization(ray_session):
     # 'xy'+'z' and 'x'+'yz' both spell "xyz": whichever forms second
     # must reuse the first symbol, as a string-tuple trainer would
