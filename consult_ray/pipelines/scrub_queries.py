@@ -361,9 +361,83 @@ def q_docs_from_jsonl(sf_dir: str):
     )
 
 
+# --- CSV source format -----------------------------------------------
+
+def q_docs_from_csv(sf_dir: str):
+    """Source-format breadth, CSV edition (same derived-export contract
+    as q_docs_from_jsonl: cache keyed on sf_dir + row count, per-process
+    tmp + os.replace swap): the documents table is exported once to CSV
+    via pyarrow.csv.write_csv (one vectorized writer call per block, no
+    per-row Python), read back with ray.data.read_csv, and aggregated
+    into a per-source census. Oracle = the same census on parquet."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    src = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    n = src.count()
+    key = hashlib.md5(f"{sf_dir}:{n}:v1".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/consult_ray_csv/{key}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+        import tempfile
+
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{key}.tmp",
+                               dir=os.path.dirname(out_dir))
+
+        def dump(batch: pa.Table) -> pa.Table:
+            import pyarrow.csv as pacsv
+
+            name = hashlib.md5(
+                batch.slice(0, 1).to_pandas().to_json().encode()
+            ).hexdigest()[:16]
+            pacsv.write_csv(batch, os.path.join(tmp, f"{name}.csv"))
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        src.map_batches(dump, batch_format="pyarrow").count()
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:  # lost the swap race; the winner's copy is live
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    files = [
+        os.path.join(out_dir, f)
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".csv")
+    ]
+    ds = rd.read_csv(files)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        from consult_ray.util import grouped
+
+        t = pa.table({
+            "source": batch["source"],
+            "n_chars": batch["n_chars"].cast(pa.int64()),
+        })
+        return grouped(
+            t, ["source"], [("n_chars", "count"), ("n_chars", "sum")],
+            ["n_docs", "total_chars"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_chars", alias_name="total_chars"))
+    )
+
+
 SCRUB_QUERIES = {
     "boilerplate_scrub": q_boilerplate_scrub,
     "docs_from_jsonl": q_docs_from_jsonl,
+    "docs_from_csv": q_docs_from_csv,
     "pii_redact": q_pii_redact,
     "url_canonical": q_url_canonical,
     "decontaminate": q_decontaminate,
@@ -375,6 +449,11 @@ SCRUB_ORACLE_SQL = {
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS total_chars "
         "FROM documents GROUP BY lang"
+    ),
+    "docs_from_csv": (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY source"
     ),
     "pii_redact": (
         f"SELECT doc_id, {_SQL_PII_REDACT} AS text_redacted, "
