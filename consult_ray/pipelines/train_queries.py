@@ -501,6 +501,85 @@ _STOPLIST = (
 ).split()
 
 
+def q_docs_from_warc(sf_dir: str):
+    """WARC source round-trip (the container format Common-Crawl pages
+    ship in; sources/warc.py): the documents table is exported once as
+    Content-Length-framed .warc shards over the input_hint pages view
+    (url from pagesview.pages_url, WARC-Date from the fixed crawl
+    epoch), read back with read_binary_files + per-file framing hops,
+    and reduced to per-record (url, warc_date, n_bytes). Payloads are
+    length-framed, never escaped, so any byte sequence round-trips —
+    tests/test_warc.py proves a payload containing the record separator
+    AND a fake header survives byte-exact. Oracle = the same derivation
+    on parquet."""
+    import hashlib
+    import os
+    import shutil
+
+    from consult_ray.pipelines.pagesview import PAGES_EPOCH_US, pages_url
+    from consult_ray.sources.warc import read_warc, write_warc_shards
+
+    src = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    n = src.count()
+    key = hashlib.md5(f"{sf_dir}:{n}:warc:v2".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/consult_ray_warc/{key}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        import tempfile
+
+        os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{key}.tmp",
+                               dir=os.path.dirname(out_dir))
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "url": pages_url(batch),
+                "ts_us": pa.array(PAGES_EPOCH_US + ids * 1_000_000),
+                "payload": batch["text"].cast(pa.large_binary()),
+            })
+
+        write_warc_shards(src.map_batches(to_pages, batch_format="pyarrow"),
+                          tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:  # lost the swap race; the winner's copy is live
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    files = [
+        os.path.join(out_dir, f)
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".warc")
+    ]
+    ds = read_warc(files)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "warc_date": batch["warc_date"],
+            "n_bytes": pc.cast(pc.binary_length(batch["payload"]),
+                               pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _sql_warc() -> str:
+    from consult_ray.pipelines.pagesview import (
+        PAGES_EPOCH_US,
+        PAGES_URL_SQL,
+    )
+
+    return (
+        f"SELECT {PAGES_URL_SQL} AS url, "
+        f"strftime(make_timestamp({PAGES_EPOCH_US} + doc_id * 1000000), "
+        "'%Y-%m-%dT%H:%M:%SZ') AS warc_date, "
+        "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"
+    )
+
+
 def q_quality_features(sf_dir: str):
     """The INTEGER inputs of stages/text.py's quality score — char,
     token, stopword, punctuation, alpha counts per doc — SQL-checked
@@ -869,6 +948,7 @@ TRAIN_QUERIES = {
     "bpe_vocab": q_bpe_vocab,
     "bpe_encode": q_bpe_encode,
     "ttr_stats": q_ttr_stats,
+    "docs_from_warc": q_docs_from_warc,
 }
 
 TRAIN_ORACLE_SQL = {
@@ -885,4 +965,5 @@ TRAIN_ORACLE_SQL = {
     "token_budget_head": _SQL_BUDGET_HEAD,
     "bpe_pair_counts": _SQL_BPE_PAIRS,
     "ttr_stats": _SQL_TTR,
+    "docs_from_warc": _sql_warc(),
 }
