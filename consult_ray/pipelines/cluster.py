@@ -67,33 +67,61 @@ def _edge_nodes(edges: Dataset) -> Dataset:
     )
 
 
-def _propagate_round(edges: Dataset, labels: Dataset, num_partitions: int) -> Dataset:
-    withA = edges.join(
-        labels, "inner", num_partitions, on=("a",), right_on=("node",)
-    )  # a, b, label(=label_a)
-    withA = withA.rename_columns({"label": "label_a"})
-    withAB = withA.join(
-        labels, "inner", num_partitions, on=("b",), right_on=("node",)
-    )  # a, b, label_a, label(=label_b)
+LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
-    def msgs(batch: pa.Table) -> pa.Table:
+
+def _directed_edges(edges: Dataset) -> Dataset:
+    """(a, b) -> both directions (src, dst): built ONCE before the
+    propagation loop so every round pays a single hash join instead of
+    two chained ones. 2x the edge rows at 16 B/row — cheaper than the
+    second all-to-all per round it replaces, and it removes the
+    join-output-feeds-a-join hazard (pin_schema docstring) entirely."""
+
+    def emit(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        la = batch["label_a"].to_numpy(zero_copy_only=False)
-        lb = batch["label"].to_numpy(zero_copy_only=False)
-        m = np.minimum(la, lb)
-        node = np.concatenate([a, b])
-        lab = np.concatenate([m, m])
-        # per-block pre-combine: one (node, min label) row per distinct
-        # node, so the groupby-min shuffle moves per-node partials, not
-        # two rows per edge
-        order = np.argsort(node, kind="stable")
-        node, lab = node[order], lab[order]
-        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-        mins = np.minimum.reduceat(lab, starts)
-        return pa.table({"node": pa.array(node[starts]), "label": pa.array(mins)})
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+        })
 
-    messages = withAB.map_batches(msgs, batch_format="pyarrow")
+    return edges.map_batches(emit, batch_format="pyarrow")
+
+
+def _propagate_round(diredges: Dataset, labels: Dataset, num_partitions: int) -> Dataset:
+    """One min-label round: each directed edge ships its source's label
+    to its destination; a node's new label = Min(own, incoming). This is
+    value-identical per round to the send-min(la,lb)-to-both-endpoints
+    formulation (the Min aggregate re-forms min(la, lb) at each
+    endpoint because `labels` rides the union), but needs ONE join
+    against the static directed-edge table instead of two chained joins
+    — and a join output feeding another join crashes Acero whenever the
+    intermediate's first block lands on an empty hash partition
+    (consult_ray.util.pin_schema docstring)."""
+    # labels is a hash-aggregate output (groupby-min); at partition
+    # counts above the distinct node count its empty partitions are
+    # schema-less blocks that crash Acero inside Dataset.join — pin the
+    # schema first (consult_ray.util.pin_schema docstring)
+    from consult_ray.util import pin_schema
+
+    labels = pin_schema(labels, LABEL_SCHEMA)
+    withL = diredges.join(
+        labels, "inner", num_partitions, on=("src",), right_on=("node",)
+    )  # src, dst, label(=label of src)
+
+    def msgs(batch: pa.Table) -> pa.Table:
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        # per-block pre-combine: one (node, min label) row per distinct
+        # destination, so the groupby-min shuffle moves per-node
+        # partials, not one row per directed edge
+        order = np.argsort(dst, kind="stable")
+        dst, lab = dst[order], lab[order]
+        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+        mins = np.minimum.reduceat(lab, starts)
+        return pa.table({"node": pa.array(dst[starts]), "label": pa.array(mins)})
+
+    messages = withL.map_batches(msgs, batch_format="pyarrow")
     return (
         labels.union(messages)
         .groupby("node")
@@ -226,9 +254,11 @@ def connected_components_distributed(
         # reached past the prev_sum guard) and the loop would burn
         # cc_max_iters rounds writing empty checkpoints.
         return labels
-    edges = _contract_blocks(edges.select_columns(["a", "b"])).materialize()
+    diredges = _directed_edges(
+        _contract_blocks(edges.select_columns(["a", "b"]))
+    ).materialize()
     for i in range(start_round, cfg.cc_max_iters):
-        labels = _propagate_round(edges, labels, resolve_join_partitions(cfg)).materialize()
+        labels = _propagate_round(diredges, labels, resolve_join_partitions(cfg)).materialize()
         row = labels.aggregate(Sum("label", alias_name="s"))
         cur = row["s"] if isinstance(row, dict) else row
         if checkpoint_dir:
@@ -377,8 +407,13 @@ def assign_clusters(
         return docs.select_columns(cols).map_batches(lookup, batch_format="pyarrow")
 
     ids = docs.select_columns(cols)
+    # the distributed-CC label set is a hash-aggregate output; pin its
+    # schema so empty partitions can't feed the join schema-less blocks
+    from consult_ray.util import pin_schema
+
     joined = ids.join(
-        labels, "left_outer", resolve_join_partitions(cfg), on=(id_col,), right_on=("node",)
+        pin_schema(labels, LABEL_SCHEMA), "left_outer",
+        resolve_join_partitions(cfg), on=(id_col,), right_on=("node",),
     )
 
     def coalesce(batch: pa.Table) -> pa.Table:

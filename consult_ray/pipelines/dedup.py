@@ -789,7 +789,13 @@ def dedup_url_pages(
     )  # (doc_id, key, cluster_id)
 
     # id round-trip for the cluster label: the label is the min member
-    # id, so one narrow (id -> key) hash join recovers that member's key
+    # id, so one narrow (id -> key) hash join recovers that member's key.
+    # clusters is itself a join output routed through map_batches — its
+    # empty hash partitions would feed this join schema-less first
+    # blocks (util.pin_schema docstring), so drop them first
+    from consult_ray.util import drop_empty_blocks
+
+    clusters = drop_empty_blocks(clusters, cfg)
     mapping = with_ids.select_columns(["doc_id", key_col])
     out = clusters.join(
         mapping,

@@ -118,11 +118,15 @@ def q_nation_order_value(sf_dir: str):
             ["total_cents", "n_orders"],
         )
 
-    per_cust = (
+    from consult_ray.util import pin_schema
+
+    per_cust = pin_schema(
         orders.map_batches(partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Sum("total_cents", alias_name="total_cents"),
-                   Sum("n_orders", alias_name="n_orders"))
+                   Sum("n_orders", alias_name="n_orders")),
+        pa.schema([("o_custkey", pa.int64()), ("total_cents", pa.int64()),
+                   ("n_orders", pa.int64())]),
     )
     joined = per_cust.join(
         cust, "inner", resolve_join_partitions(CFG),
@@ -255,7 +259,14 @@ def q_region_revenue(sf_dir: str):
             ["o_custkey", "s_nation"], [("cents", "sum")], ["cents"],
         )
 
-    per_cust = j1.map_batches(cust_partial, batch_format="pyarrow")
+    # j1 is a join output and cust_partial's map strips its empty
+    # blocks to a NULL schema — feeding j2 a schema-less first block
+    # crashes Acero at high partition counts (util.pin_schema docstring)
+    from consult_ray.util import drop_empty_blocks
+
+    per_cust = drop_empty_blocks(
+        j1.map_batches(cust_partial, batch_format="pyarrow"), CFG
+    )
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     j2 = per_cust.join(
         customer, "inner", resolve_join_partitions(CFG),
@@ -795,6 +806,17 @@ def q_line_dedup_stats(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="n_kept"))
     )
 
+    # both join inputs are hash-aggregate outputs: pin their schemas so
+    # empty partitions (partitions > distinct doc_ids) can't feed Acero
+    # schema-less blocks (the doc_top_terms failure class)
+    from consult_ray.util import pin_schema
+
+    totals = pin_schema(
+        totals, pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64())])
+    )
+    kept = pin_schema(
+        kept, pa.schema([("doc_id", pa.int64()), ("n_kept", pa.int64())])
+    )
     joined = totals.join(
         kept, "left_outer", resolve_join_partitions(CFG), on=("doc_id",)
     )
@@ -1329,6 +1351,14 @@ def q_doc_top_terms(sf_dir: str):
         tf_ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
+    )
+    # hash aggregates emit schema-less blocks for empty partitions,
+    # which crash Acero inside Dataset.join at high partition counts
+    # (CORRECTNESS_r03's one red row) — pin the schema before the join
+    from consult_ray.util import pin_schema
+
+    df_ds = pin_schema(
+        df_ds, pa.schema([("token", pa.string()), ("df", pa.int64())])
     )
     joined = tf_ds.join(
         df_ds, "inner", resolve_join_partitions(CFG), on=("token",)

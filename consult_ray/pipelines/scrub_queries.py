@@ -391,9 +391,11 @@ def q_docs_from_csv(sf_dir: str):
         def dump(batch: pa.Table) -> pa.Table:
             import pyarrow.csv as pacsv
 
+            # first-row hash alone collides for blocks sharing a first
+            # row; a per-task random component makes names unique
             name = hashlib.md5(
                 batch.slice(0, 1).to_pandas().to_json().encode()
-            ).hexdigest()[:16]
+            ).hexdigest()[:16] + "-" + os.urandom(6).hex()
             pacsv.write_csv(batch, os.path.join(tmp, f"{name}.csv"))
             return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
@@ -410,7 +412,17 @@ def q_docs_from_csv(sf_dir: str):
         for f in sorted(os.listdir(out_dir))
         if f.endswith(".csv")
     ]
-    ds = rd.read_csv(files)
+    # explicit column types: inference would re-type a numeric-looking
+    # source value (and read empty strings back as null), silently
+    # diverging from the parquet-based oracle on adversarial data
+    import pyarrow.csv as pacsv
+
+    ds = rd.read_csv(
+        files,
+        convert_options=pacsv.ConvertOptions(
+            column_types={"source": pa.string(), "n_chars": pa.int64()}
+        ),
+    )
 
     def pre(batch: pa.Table) -> pa.Table:
         from consult_ray.util import grouped

@@ -386,11 +386,13 @@ def ingest_shard(
         else:
             # large shard: distributed semi-join (novel ids are unique,
             # so the inner hash join neither duplicates nor collects
-            # anything driver-side)
-            from consult_ray.util import resolve_join_partitions
+            # anything driver-side). new_docs is a filter output — an
+            # empty first block would reach the join schema-less
+            # (util.pin_schema docstring), so drop empty blocks first.
+            from consult_ray.util import drop_empty_blocks, resolve_join_partitions
 
             novel_bands = bands.join(
-                new_docs.select_columns([id_col]),
+                drop_empty_blocks(new_docs.select_columns([id_col]), cfg),
                 "inner",
                 resolve_join_partitions(cfg),
                 on=("doc_id",),
@@ -726,6 +728,15 @@ def classify_queries_partitioned(
     agg = probes.groupby("doc_id").aggregate(
         Sum("hit", alias_name="match_count"), Min("mdoc", alias_name="mdoc")
     )
+    # hash-aggregate output feeding Dataset.join: pin the schema so
+    # empty partitions (partitions > distinct probed doc ids) can't
+    # emit schema-less blocks into Acero (util.pin_schema docstring)
+    from consult_ray.util import pin_schema
+
+    agg = pin_schema(agg, pa.schema([
+        ("doc_id", pa.int64()), ("match_count", pa.int64()),
+        ("mdoc", pa.int64()),
+    ]))
 
     joined = queries.join(
         agg,

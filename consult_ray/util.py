@@ -24,6 +24,77 @@ def grouped(
     return g.select(keys + gen).rename_columns(keys + out_names)
 
 
+def pin_schema(ds, schema: pa.Schema, cfg: PipelineConfig | None = None):
+    """Make a hash-aggregate output safe to feed `Dataset.join` by
+    ELIMINATING its empty blocks and pinning every surviving block to
+    `schema`. Required between any Ray hash aggregate and a join.
+
+    Root cause (read from Ray 2.49 hash_shuffle.py:548-589 and
+    join.py:104-127, reproduced at num_cpus=32 on sf0.01 — the one red
+    row in CORRECTNESS_r03, doc_top_terms): a hash aggregate emits
+    EMPTY (schema-less) blocks for partitions that received no rows,
+    and the join's shuffle broadcasts schemas to its aggregators ONLY
+    with the FIRST block of each side (`send_empty_blocks=True` once).
+    `_shuffle_block` returns early for a 0-row block WITHOUT fanning
+    out the schema-bearing empty shards, but the operator still marks
+    schemas as broadcast — so when the first block of a side is empty,
+    every join partition whose hash range receives no real rows
+    finalizes a schema-less table, and Acero fails with "No match or
+    multiple matches for key field reference FieldRef.Name(...)".
+    Retyping empty blocks CANNOT fix this (map_batches never visits
+    empty blocks, and a typed 0-row first block still short-circuits
+    the broadcast); the empty blocks must be REMOVED.
+
+    The same hazard applies to JOIN outputs fed into another join
+    (reproduced: an inner-join output at 16 partitions has typed empty
+    blocks for key-less partitions; if one of those is the side's FIRST
+    block the next join crashes the same way — and a map_batches in
+    between makes it worse by stripping empty blocks to a NULL schema).
+    Use `drop_empty_blocks` for such sides when the schema is dynamic.
+
+    Mechanics: materialize (the aggregate is already a barrier, so
+    this adds no extra shuffle), then `repartition(k)` — which rebuilds
+    blocks from row ranges, so empty blocks vanish and every output
+    block is non-empty whenever the side has >= k rows — then one
+    map_batches casting each block to the declared schema, materialized
+    so multi-branch consumers (e.g. a per-round label set read by a
+    join AND a union) don't re-execute the tail. k is capped by the
+    row count so small sides can never reintroduce empty blocks. A
+    COMPLETELY empty side is returned as a single typed empty block
+    (Ray 2.49's join still cannot consume an all-empty side; callers
+    that can hit that case must early-exit, as connected_components
+    does)."""
+    import ray.data as rd
+
+    m = ds.materialize()
+    n = m.count()
+    if n == 0:
+        return rd.from_arrow(schema.empty_table())
+    k = max(1, min(resolve_join_partitions(cfg or PipelineConfig()), n))
+
+    def _fix(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(f.name).cast(f.type) for f in schema]
+        return pa.table(cols, schema=schema)
+
+    return m.repartition(k).map_batches(_fix, batch_format="pyarrow").materialize()
+
+
+def drop_empty_blocks(ds, cfg: PipelineConfig | None = None):
+    """Schema-agnostic half of `pin_schema` (see its docstring for the
+    root cause): eliminate a dataset's empty blocks so it is safe to
+    feed `Dataset.join`, without needing a static schema. For sides
+    whose schema varies with the caller (e.g. a cluster-assignment
+    join output carrying a caller-chosen key column). A completely
+    empty dataset is returned as-is — callers that can hit that case
+    must early-exit before the join."""
+    m = ds.materialize()
+    n = m.count()
+    if n == 0:
+        return m
+    k = max(1, min(resolve_join_partitions(cfg or PipelineConfig()), n))
+    return m.repartition(k).materialize()
+
+
 def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
     """read_parquet with the file's schema METADATA stripped at the
     source. Parquet written via pandas carries a b'pandas' schema-
