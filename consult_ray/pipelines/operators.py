@@ -58,8 +58,16 @@ def exact_dedup_survivors(ds: Dataset, cfg: PipelineConfig,
         lambda b: doc_fingerprint_batch(b, text_col=text_col), batch_format="pyarrow"
     )
     reps = exact_dedup_groups(ds, text_col=text_col, id_col=id_col)
+    # reps is a hash-aggregate output: pin the schema (engine ids are
+    # int64 end-to-end, stages/ids.py) so empty partitions can't feed
+    # the semi-join schema-less blocks (the doc_top_terms failure class)
+    from consult_ray.util import pin_schema
+
     return hashed.join(
-        reps.select_columns(["rep_id"]),
+        pin_schema(
+            reps.select_columns(["rep_id"]),
+            pa.schema([("rep_id", pa.int64())]),
+        ),
         "left_semi",
         resolve_join_partitions(cfg),
         on=(id_col,),
@@ -172,9 +180,10 @@ def asof_join(
     which Ray Data has no primitive for.
 
     Plan: both sides project to a common (key, ts, side, payload) schema,
-    union, ONE groupby(key) shuffle, and a per-group vectorized
-    sort + np.searchsorted. Group size = one entity's rows, so memory is
-    bounded by the hottest key, not the table.
+    union, ONE hash-partition shuffle on the key, and ONE vectorized
+    sort + forward-scan kernel per partition covering all its keys (P
+    Python calls total — never one per entity). All rows of one key land
+    in one partition, so memory rides the partition, with P the knob.
 
     Keys may be integer (normalized to int64 so an int32/int64
     cross-table pair still groups together) or string (url/host keys
@@ -226,24 +235,62 @@ def asof_join(
         right.select_columns([right_on, right_ts]).map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def per_key(g: pa.Table) -> pa.Table:
-        side = g["side"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        rts = np.sort(ts[~lmask])
-        lts = ts[lmask]
-        if len(rts) == 0 or len(lts) == 0:
+    # Finalize per HASH PARTITION of the key, not per key group:
+    # groupby(k).map_groups costs one Python call per entity (~10^5
+    # tiny tables whose concatenation fragments every downstream block —
+    # the measured 2x tiny-groups tax, CLAUDE.md). One partition kernel
+    # handles ALL its keys vectorized: sort by (k, ts, side desc) so
+    # rights precede lefts on timestamp ties (rts == lts matches), then
+    # "latest right at-or-before me" is a forward running max of right
+    # row indices, validated against the key-segment id.
+    P = resolve_join_partitions(cfg)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _hash_partition_col(batch["k"], P)
+        )
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        n = g.num_rows
+        if n == 0:
             return pa.table(
                 {c: pa.array([], keep_types[c]) for c in left_keep}
                 | {out_ts: pa.array([], ts_type)}
             )
-        pos = np.searchsorted(rts, lts, side="right") - 1
-        ok = pos >= 0
-        out = {c: g[c].filter(pa.array(lmask)).filter(pa.array(ok)) for c in left_keep}
-        out[out_ts] = pa.array(rts[pos[ok]])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("k", "ascending"), ("ts", "ascending"), ("side", "descending")
+            ],
+        )
+        s = g.take(order)
+        kcol = s["k"].combine_chunks()
+        if n > 1:
+            neq = pc.fill_null(
+                pc.not_equal(kcol.slice(1), kcol.slice(0, n - 1)), True
+            ).to_numpy(zero_copy_only=False)
+            seg = np.concatenate(([0], np.cumsum(neq.astype(np.int64))))
+        else:
+            seg = np.zeros(1, dtype=np.int64)
+        side = s["side"].to_numpy(zero_copy_only=False)
+        cand = np.maximum.accumulate(
+            np.where(side == 1, np.arange(n, dtype=np.int64), -1)
+        )
+        lpos = np.flatnonzero(side == 0)
+        c = cand[lpos]
+        ok = c >= 0
+        ok[ok] = seg[c[ok]] == seg[lpos[ok]]  # right must share the key
+        keep_idx = pa.array(lpos[ok])
+        out = {col: s[col].take(keep_idx) for col in left_keep}
+        out[out_ts] = s["ts"].take(pa.array(c[ok]))
         return pa.table(out)
 
-    return both.groupby("k").map_groups(per_key, batch_format="pyarrow")
+    return (
+        both.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
 
 
 def range_join_count(
@@ -267,8 +314,9 @@ def range_join_count(
     width = window; each RIGHT row replicates to buckets {b-1, b, b+1}
     (a fixed 3x on narrow (key, bucket, ts) rows — the text/payload
     never moves), each LEFT row keeps its own bucket, ONE
-    groupby(key, bucket) shuffle, then an exact per-group
-    sort + two-searchsorted count. Any in-window pair differs by at
+    hash-partition shuffle on (key, bucket), then one exact vectorized
+    sort + composite-rank searchsorted count per PARTITION covering all
+    its (key, bucket) groups at once. Any in-window pair differs by at
     most one bucket, so it meets in the left row's bucket exactly once;
     out-of-window same-bucket pairs are filtered by the exact check.
     Every left row lands in exactly one group, so unmatched rows emit
@@ -350,28 +398,78 @@ def range_join_count(
         )
     )
 
-    def per_group(g: pa.Table) -> pa.Table:
-        side = g["side"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].to_numpy(zero_copy_only=False)
-        lmask = side != 1
-        if not lmask.any():
+    # Finalize per HASH PARTITION of (k, bkt), not per group — one
+    # vectorized kernel per partition instead of one Python call per
+    # (key, bucket) group (the tiny-groups tax; same rationale as
+    # asof_join above). Within a partition: sort by (k, bkt, ts); the
+    # in-window count for a left row is a difference of two
+    # searchsorteds over a composite (segment, ts-rank) key — the rank
+    # remap makes ONE global searchsorted answer every segment's range
+    # query at once (ts <= b  ⟺  rank_left(ts) < rank_right(b), so
+    # segment-local bounds become disjoint integer intervals seg*M+lo ..
+    # seg*M+hi that never bleed across segments).
+    P = resolve_join_partitions(cfg)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        kp = _hash_partition_col(batch["k"], P).to_numpy(zero_copy_only=False)
+        bp = batch["bkt"].to_numpy(zero_copy_only=False)
+        part = ((kp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                ^ bp.view(np.uint64)) % np.uint64(P)
+        return batch.append_column(
+            "__part", pa.array(part.astype(np.int64))
+        )
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        n = g.num_rows
+        if n == 0:
             return pa.table(
                 {c: pa.array([], keep_types[c]) for c in left_keep}
                 | {out_count: pa.array([], pa.int64())}
             )
-        rts = np.sort(ts[side == 1])
-        lts = ts[lmask]
-        n = (
-            np.searchsorted(rts, lts + W, side="right")
-            - np.searchsorted(rts, lts - W, side="left")
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("k", "ascending"), ("bkt", "ascending"), ("ts", "ascending")
+            ],
+        )
+        s = g.take(order)
+        kcol = s["k"].combine_chunks()
+        bkt = s["bkt"].to_numpy(zero_copy_only=False)
+        if n > 1:
+            neq_k = pc.fill_null(
+                pc.not_equal(kcol.slice(1), kcol.slice(0, n - 1)), True
+            ).to_numpy(zero_copy_only=False)
+            neq = neq_k | (bkt[1:] != bkt[:-1])
+            seg = np.concatenate(([0], np.cumsum(neq.astype(np.int64))))
+        else:
+            seg = np.zeros(1, dtype=np.int64)
+        side = s["side"].to_numpy(zero_copy_only=False)
+        ts = s["ts"].to_numpy(zero_copy_only=False)
+        is_r = side == 1
+        r_seg, r_ts = seg[is_r], ts[is_r]
+        sorted_rts = np.sort(r_ts)
+        M = np.int64(len(sorted_rts) + 1)
+        # rights stay (seg, ts)-sorted under the global sort, and rank
+        # is monotone in ts, so comp is sorted
+        comp = r_seg * M + np.searchsorted(sorted_rts, r_ts, side="left")
+        lmask = side != 1
+        l_seg, l_ts = seg[lmask], ts[lmask]
+        hi = np.searchsorted(sorted_rts, l_ts + W, side="right")
+        lo = np.searchsorted(sorted_rts, l_ts - W, side="left")
+        cnt = (
+            np.searchsorted(comp, l_seg * M + hi, side="left")
+            - np.searchsorted(comp, l_seg * M + lo, side="left")
         ).astype(np.int64)
-        n[side[lmask] == 2] = 0  # null-key/ts left rows match nothing
-        out = {c: g[c].filter(pa.array(lmask)) for c in left_keep}
-        out[out_count] = pa.array(n)
+        cnt[side[lmask] == 2] = 0  # null-key/ts left rows match nothing
+        out = {c: s[c].filter(pa.array(lmask)) for c in left_keep}
+        out[out_count] = pa.array(cnt)
         return pa.table(out)
 
-    return both.groupby(["k", "bkt"]).map_groups(
-        per_group, batch_format="pyarrow"
+    return (
+        both.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pyarrow")
     )
 
 
@@ -384,25 +482,68 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> Dataset:
     """Per-key session count with a fixed inactivity gap (streaming-window
-    analog, SURVEY §2.9): ONE groupby(key) shuffle, per-group sort + diff.
+    analog, SURVEY §2.9): ONE hash-partition shuffle on the key, one
+    vectorized sort + gap-diff kernel per partition (all keys at once).
     """
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+    # one vectorized kernel per HASH PARTITION of the key (P Python
+    # calls), not one per key group: sort by (key, ts, tiebreak), mark
+    # gap breaks on adjacent rows, suppress breaks that cross a key
+    # boundary, and count per key segment with one bincount.
+    P = resolve_join_partitions(cfg)
 
-    def per_key(g: pa.Table) -> pa.Table:
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _hash_partition_col(batch[key], P)
+        )
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                key: pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+            })
         order = pc.sort_indices(
-            g, sort_keys=[(ts, "ascending"), (order_tiebreak, "ascending")]
+            g,
+            sort_keys=[
+                (key, "ascending"), (ts, "ascending"),
+                (order_tiebreak, "ascending"),
+            ],
         )
-        t = g[ts].take(order).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
-        n_sessions = 1 + int((np.diff(t) > gap_us).sum()) if len(t) else 0
-        return pa.table(
-            {
-                key: pa.array([g[key][0].as_py()], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
-            }
+        s = g.take(order)
+        kcol = s[key].combine_chunks()
+        t = (
+            s[ts].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
         )
+        if n > 1:
+            neq = pc.fill_null(
+                pc.not_equal(kcol.slice(1), kcol.slice(0, n - 1)), True
+            ).to_numpy(zero_copy_only=False)
+            starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+            intra_break = (np.diff(t) > gap_us) & ~neq
+            # break at adjacent pair (p, p+1) belongs to the segment of
+            # row p (no key boundary crossed there by construction)
+            seg_of_break = (
+                np.searchsorted(starts, np.flatnonzero(intra_break),
+                                side="right") - 1
+            )
+            counts = 1 + np.bincount(seg_of_break, minlength=len(starts))
+        else:
+            starts = np.zeros(1, dtype=np.int64)
+            counts = np.ones(1, dtype=np.int64)
+        return pa.table({
+            key: kcol.take(pa.array(starts)).cast(pa.int64()),
+            "n_sessions": pa.array(counts.astype(np.int64)),
+        })
 
-    return ds.select_columns([key, ts, order_tiebreak]).groupby(key).map_groups(
-        per_key, batch_format="pyarrow"
+    return (
+        ds.select_columns([key, ts, order_tiebreak])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pyarrow")
     )
 
 
@@ -552,12 +693,36 @@ def _top_k_batch(
     return out
 
 
+def _hash_partition_col(col, num_partitions: int) -> pa.Array:
+    """Deterministic partition id for ANY key column: integers go
+    through SplitMix64 (sequential ids would otherwise stripe), strings
+    and binaries through the content hash the id stage uses. Vectorized
+    end-to-end."""
+    from consult_ray.functions.hashing import splitmix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or (
+        pa.types.is_binary(t) or pa.types.is_large_binary(t)
+    ):
+        from consult_ray.stages.ids import hash_keys
+
+        h = hash_keys(col).view(np.uint64)
+    else:
+        h = splitmix64(
+            col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+
 def grouped_top_k(
     ds: Dataset,
     group_col: str,
     order_by: list[tuple[str, bool]],
     k: int,
     rank_col: str | None = "rank",
+    cfg: PipelineConfig | None = None,
 ) -> Dataset:
     """Per-group top-k rows under a deterministic order.
 
@@ -565,21 +730,31 @@ def grouped_top_k(
     unique tiebreak column (e.g. doc_id) so ranks are well-defined.
 
     Scale plan: a per-block vectorized combiner keeps at most k rows
-    per group BEFORE the shuffle, so the groupby moves <= k rows per
+    per group BEFORE the shuffle, so the shuffle moves <= k rows per
     group per block (k * n_blocks worst-case group size, tiny width —
-    the same partial-then-final shape as preagg_group_sum); the final
-    map_groups re-ranks each bounded group. Only the group/order/keep
-    columns should be in `ds` — select before calling.
+    the same partial-then-final shape as preagg_group_sum). The
+    finalize groups by a HASH PARTITION of group_col — P Python calls
+    total — and runs the multi-group vectorized `_top_k_batch` once per
+    partition; a per-GROUP map_groups would cost one Python call per
+    group (per DOCUMENT for doc-keyed callers) and fragment downstream
+    blocks into thousands of chunks (the measured 2x tiny-groups tax —
+    same shape as cap_partition, pipelines/dedup.py). Only the
+    group/order/keep columns should be in `ds` — select before calling.
     """
+    P = resolve_join_partitions(cfg or PipelineConfig())
 
     def partial(batch: pa.Table) -> pa.Table:
-        return _top_k_batch(batch, group_col, order_by, k, None)
+        t = _top_k_batch(batch, group_col, order_by, k, None)
+        return t.append_column("__part", _hash_partition_col(t[group_col], P))
 
-    def final(grp: pa.Table) -> pa.Table:
-        return _top_k_batch(grp, group_col, order_by, k, rank_col)
+    def final_partition(grp: pa.Table) -> pa.Table:
+        t = _top_k_batch(
+            grp.drop_columns(["__part"]), group_col, order_by, k, rank_col
+        )
+        return t.combine_chunks()
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(group_col)
-        .map_groups(final, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final_partition, batch_format="pyarrow")
     )
