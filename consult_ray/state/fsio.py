@@ -32,12 +32,91 @@ import posixpath
 import pyarrow.fs as pafs
 
 
+class ObjectStoreDoubleHandler(pafs.FileSystemHandler):
+    """Local-disk double that ENFORCES object-store semantics: move /
+    rename raises (S3/GCS have none) and every FileInfo is returned
+    with its mtime stripped (object-store listings give no reliable
+    mtime). Backs the `norename://` scheme below so the manifest
+    protocol's no-rename, no-mtime contract is executable in tests
+    without a real object store. Stateless (reconstructs its local
+    delegate), so it pickles into Ray workers by construction."""
+
+    def __init__(self):
+        self._local = pafs.LocalFileSystem()
+
+    def __reduce__(self):
+        return (ObjectStoreDoubleHandler, ())
+
+    def __eq__(self, other):
+        return isinstance(other, ObjectStoreDoubleHandler)
+
+    def get_type_name(self):
+        return "norename"
+
+    def normalize_path(self, path):
+        return self._local.normalize_path(path)
+
+    @staticmethod
+    def _strip(info):
+        return pafs.FileInfo(info.path, type=info.type, size=info.size)
+
+    def get_file_info(self, paths):
+        return [self._strip(i) for i in self._local.get_file_info(paths)]
+
+    def get_file_info_selector(self, selector):
+        return [self._strip(i) for i in self._local.get_file_info(selector)]
+
+    def create_dir(self, path, recursive):
+        self._local.create_dir(path, recursive=recursive)
+
+    def delete_dir(self, path):
+        self._local.delete_dir(path)
+
+    def delete_dir_contents(self, path, missing_dir_ok=False):
+        self._local.delete_dir_contents(path, missing_dir_ok=missing_dir_ok)
+
+    def delete_root_dir_contents(self):
+        raise NotImplementedError("refusing to clear /")
+
+    def delete_file(self, path):
+        self._local.delete_file(path)
+
+    def move(self, src, dest):
+        raise NotImplementedError(
+            "object stores have no rename — commit via a single-object "
+            "manifest PUT instead (fsio module docstring)"
+        )
+
+    def copy_file(self, src, dest):
+        self._local.copy_file(src, dest)
+
+    def open_input_stream(self, path):
+        return self._local.open_input_stream(path)
+
+    def open_input_file(self, path):
+        return self._local.open_input_file(path)
+
+    def open_output_stream(self, path, metadata):
+        return self._local.open_output_stream(path, metadata=metadata)
+
+    def open_append_stream(self, path, metadata):
+        raise NotImplementedError("object stores have no append")
+
+
 def resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
-    """(filesystem, fs-local path) for a plain path or a URI."""
-    if "://" in str(path):
-        fs, p = pafs.FileSystem.from_uri(str(path))
+    """(filesystem, fs-local path) for a plain path or a URI.
+
+    `norename://<abs-path>` resolves to the ObjectStoreDouble above —
+    same bytes on local disk, object-store rules enforced. Workers
+    resolve the scheme independently from the path string, so no
+    filesystem object needs to cross process boundaries."""
+    s = str(path)
+    if s.startswith("norename://"):
+        return pafs.PyFileSystem(ObjectStoreDoubleHandler()), s[len("norename://"):]
+    if "://" in s:
+        fs, p = pafs.FileSystem.from_uri(s)
         return fs, p
-    return pafs.LocalFileSystem(), str(path)
+    return pafs.LocalFileSystem(), s
 
 
 def join(base: str, *parts: str) -> str:
