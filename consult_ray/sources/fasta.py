@@ -133,7 +133,10 @@ def write_fasta_shards(ds, out_dir: str, text_col: str = "text",
         blob = _blob(body)
         import hashlib
 
-        name = hashlib.md5(blob[:256] + str(len(blob)).encode()).hexdigest()[:16]
+        # per-task random suffix: prefix+length hashes can collide
+        # (identical leading records / empty blocks would overwrite)
+        name = (hashlib.md5(blob[:256] + str(len(blob)).encode())
+                .hexdigest()[:16] + "-" + os.urandom(6).hex())
         with open(os.path.join(out_dir, f"{name}.fa"), "wb") as f:
             f.write(blob)
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
@@ -166,7 +169,8 @@ def write_fastq_shards(ds, out_dir: str, text_col: str = "text",
         blob = _blob(body)
         import hashlib
 
-        name = hashlib.md5(blob[:256] + str(len(blob)).encode()).hexdigest()[:16]
+        name = (hashlib.md5(blob[:256] + str(len(blob)).encode())
+                .hexdigest()[:16] + "-" + os.urandom(6).hex())
         with open(os.path.join(out_dir, f"{name}.fq"), "wb") as f:
             f.write(blob)
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})

@@ -112,9 +112,13 @@ def write_warc_shards(
             pa.scalar(b"", pa.large_binary()),
         )
         blob = _blob(rec)
-        name = hashlib.md5(
-            blob[:256] + str(len(blob)).encode()
-        ).hexdigest()[:16]
+        # content hash alone can collide (two blocks sharing a 256-byte
+        # prefix + length, or multiple empty blocks, would silently
+        # overwrite); a per-task random component makes names unique
+        name = (
+            hashlib.md5(blob[:256] + str(len(blob)).encode()).hexdigest()[:16]
+            + "-" + os.urandom(6).hex()
+        )
         with open(os.path.join(out_dir, f"{name}.warc"), "wb") as f:
             f.write(blob)
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})

@@ -134,6 +134,15 @@ def global_order_stats(
     ds = ds.select_columns(cols)
     schema = ds.schema()  # Ray Data Schema wrapper, not pa.Schema
     types = dict(zip(schema.names, schema.types))
+    if val_col is not None and not pa.types.is_integer(types[val_col]):
+        # the running sum is int64-exact BY CONTRACT; a float val_col
+        # would be silently floor-truncated per row in the totals and
+        # assign kernels — reject it (pre-scale floats to integers,
+        # the lineitem_pricing convention)
+        raise ValueError(
+            f"global_order_stats requires an integer val_col; got "
+            f"{val_col}: {types[val_col]} (pre-scale floats to int64)"
+        )
     out_fields = [
         (id_col, types[id_col]),
         (key_col, types[key_col]),
