@@ -106,6 +106,22 @@ class DeterministicFakeDecoder:
         )
 
 
+def pool_rgb_features(a: np.ndarray) -> np.ndarray:
+    """4x4 mean-pooled RGB feature (48 floats in [0, 1]) of a decoded
+    (h, w, 3) float32 image array — the codec-independent half of
+    LibraryDecoder, split out so the real feature math is unit-testable
+    without the optional image library."""
+    h, w = a.shape[:2]
+    ys = (np.arange(h) * 4) // max(h, 1)
+    xs = (np.arange(w) * 4) // max(w, 1)
+    pooled = np.zeros((4, 4, 3), dtype=np.float64)
+    counts = np.zeros((4, 4), dtype=np.int64)
+    np.add.at(pooled, (ys[:, None], xs[None, :]), a)
+    np.add.at(counts, (ys[:, None], xs[None, :]), 1)
+    pooled /= np.maximum(counts, 1)[..., None]
+    return (pooled.reshape(-1) / 255.0).astype(np.float32)
+
+
 class LibraryDecoder:
     """The real decode stage, import-gated: constructing it without the
     optional dependency raises NotImplementedError (per the build
@@ -145,16 +161,7 @@ class LibraryDecoder:
             return -1, -1, np.zeros(self.FEAT_DIM, dtype=np.float32)
         a = np.asarray(img, dtype=np.float32)
         h, w = a.shape[:2]
-        # 4x4 mean pool via two bincount-free reductions (pad-free:
-        # integer bucket edges)
-        ys = (np.arange(h) * 4) // max(h, 1)
-        xs = (np.arange(w) * 4) // max(w, 1)
-        pooled = np.zeros((4, 4, 3), dtype=np.float64)
-        counts = np.zeros((4, 4), dtype=np.int64)
-        np.add.at(pooled, (ys[:, None], xs[None, :]), a)
-        np.add.at(counts, (ys[:, None], xs[None, :]), 1)
-        pooled /= np.maximum(counts, 1)[..., None]
-        return w, h, (pooled.reshape(-1) / 255.0).astype(np.float32)
+        return w, h, pool_rgb_features(a)
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - needs PIL
         import numpy as np

@@ -167,9 +167,66 @@ def test_fake_decoder_plumbing(ray_session):
     assert f1 == f2
 
 
+def _pil():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil(), reason="PIL present: decode path is live")
 def test_library_decoder_stub_gated():
     with pytest.raises(NotImplementedError):
         LibraryDecoder("image")
+
+
+@pytest.mark.skipif(not _pil(), reason="needs PIL")
+def test_library_decoder_real_decode():
+    """Activates wherever PIL exists: a real PNG round-trips through the
+    batch decode with true dimensions and the pooled feature."""
+    import io
+
+    import PIL.Image as Image
+
+    from consult_ray.stages.multimodal import pool_rgb_features
+
+    a = (np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3) * 3) % 251
+    buf = io.BytesIO()
+    Image.fromarray(a, "RGB").save(buf, format="PNG")
+    tbl = make_fake_media_table(3).drop_columns(["payload"]).add_column(
+        2, "payload", pa.array([buf.getvalue()] * 3, pa.large_binary())
+    )
+    out = LibraryDecoder("image")(tbl)
+    mask = out["kind"].to_pylist()
+    for i, k in enumerate(mask):
+        if k != "image":
+            continue
+        assert out["width"][i].as_py() == 8
+        assert out["height"][i].as_py() == 6
+        got = np.array(out["features"][i].as_py(), dtype=np.float32)
+        want = pool_rgb_features(a.astype(np.float32))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_pool_rgb_features_math():
+    """The codec-independent pooling half, pinned without PIL: a
+    constant-color image pools to that color; quadrant colors land in
+    their quadrant cells."""
+    from consult_ray.stages.multimodal import pool_rgb_features
+
+    solid = np.full((10, 14, 3), 200.0, dtype=np.float32)
+    np.testing.assert_allclose(pool_rgb_features(solid),
+                               np.full(48, 200.0 / 255.0, np.float32),
+                               rtol=1e-6)
+    quad = np.zeros((8, 8, 3), dtype=np.float32)
+    quad[:4, :4, 0] = 255.0  # top-left red
+    f = pool_rgb_features(quad).reshape(4, 4, 3)
+    assert f[0, 0, 0] == 1.0 and f[0, 1, 0] == 1.0
+    assert f[1, 1, 0] == 1.0  # rows 0-3 cover pool rows 0-1 of 4
+    assert f[2:, :, 0].max() == 0.0 and f[:, 2:, 0].max() == 0.0
+    assert f[..., 1:].max() == 0.0
 
 
 # --- stateful lookup -------------------------------------------------
