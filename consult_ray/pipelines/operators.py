@@ -113,13 +113,28 @@ def ngram_jaccard_pairs(
 
 def semi_join(left: Dataset, right: Dataset, cfg: PipelineConfig,
               on: str, right_on: str | None = None) -> Dataset:
-    return left.join(right, "left_semi", resolve_join_partitions(cfg),
+    # the right side is typically a filtered/derived key set; a 0-row
+    # first block would reach the join schema-less (util.pin_schema
+    # docstring), so drop empty blocks — one narrow-column pass. An
+    # ALL-empty right (which Ray's join cannot consume) means nothing
+    # matches: empty semi result, identity anti result.
+    from consult_ray.util import drop_empty_blocks
+
+    r = drop_empty_blocks(right, cfg)
+    if r.count() == 0:
+        return left.limit(0)
+    return left.join(r, "left_semi", resolve_join_partitions(cfg),
                      on=(on,), right_on=(right_on or on,))
 
 
 def anti_join(left: Dataset, right: Dataset, cfg: PipelineConfig,
               on: str, right_on: str | None = None) -> Dataset:
-    return left.join(right, "left_anti", resolve_join_partitions(cfg),
+    from consult_ray.util import drop_empty_blocks
+
+    r = drop_empty_blocks(right, cfg)
+    if r.count() == 0:
+        return left
+    return left.join(r, "left_anti", resolve_join_partitions(cfg),
                      on=(on,), right_on=(right_on or on,))
 
 

@@ -90,28 +90,54 @@ def test_aggregate_join_partitions_above_key_count(ray_session, monkeypatch):
     assert (out["v"] == 4096 // 3 + (out["k"] < 4096 % 3)).all()
 
 
-@pytest.mark.parametrize("name", ["doc_top_terms", "line_dedup_stats"])
+@pytest.mark.parametrize("name", [
+    "doc_top_terms", "line_dedup_stats",          # aggregate -> join
+    "nation_order_value", "region_revenue",       # join output -> join
+    "customers_without_orders",                   # filtered read -> anti join
+])
 def test_hazard_queries_at_high_partitions(ray_session, monkeypatch, name):
-    """The two driver queries whose joins consume hash-aggregate outputs
-    with key cardinality that can fall below the partition count (sf0.001
-    has a ~31-word vocabulary), forced to 16 join partitions."""
+    """Driver queries whose joins consume hash-aggregate outputs, other
+    joins' outputs, or filtered reads — key/row cardinality can fall
+    below the partition count (sf0.001 has a ~31-word vocabulary),
+    forced to 16 join partitions."""
     monkeypatch.setenv("GRAFT_JOIN_PARTITIONS", "16")
     import __ray_entry__ as entrymod
 
     got = entrymod.queries()[name](SF_DIR)
     got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
     con = duckdb.connect()
-    for t in ["documents"]:
+    for t in ["documents", "customer", "orders", "lineitem", "supplier",
+              "nation", "region", "events"]:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
     want = con.sql(entrymod.oracle_sql()[name]).df()
+    if len(got) == 0 and len(want) == 0:
+        return  # a 0-row Dataset's to_pandas drops columns (CLAUDE.md)
     cols = sorted(got.columns)
     assert cols == sorted(want.columns)
     a = got[cols].sort_values(cols, ignore_index=True)
     b = want[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_semi_anti_join_empty_right(ray_session):
+    """An all-empty right side (which Ray's join cannot consume) must
+    yield an empty semi result and an identity anti result."""
+    import ray.data as rd
+
+    from consult_ray.config import PipelineConfig
+    from consult_ray.pipelines.operators import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64())})
+    ).filter(expr="k > 99")
+    cfg = PipelineConfig()
+    assert semi_join(left, right, cfg, on="k").count() == 0
+    got = anti_join(left, right, cfg, on="k").to_pandas()
+    assert sorted(got["k"]) == [1, 2, 3]
 
 
 def test_distributed_cc_high_partitions(ray_session, monkeypatch):
