@@ -248,8 +248,17 @@ def q_region_revenue(sf_dir: str):
         ),
     ).select_columns(["o_orderkey", "o_custkey"])
 
-    j1 = li.join(
-        orders, "inner", resolve_join_partitions(CFG),
+    # both j1 inputs descend from FILTERED reads (a fully-filtered
+    # fragment yields an empty block, and the li partial map strips it
+    # to a null schema) — drop empty blocks so neither side's first
+    # block can reach the join schema-less (util.pin_schema docstring).
+    # The li side is per-block (orderkey, nation) partials, far smaller
+    # than lineitem, so the materialize is cheap at any scale.
+    from consult_ray.util import drop_empty_blocks
+
+    j1 = drop_empty_blocks(li, CFG).join(
+        drop_empty_blocks(orders, CFG), "inner",
+        resolve_join_partitions(CFG),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
