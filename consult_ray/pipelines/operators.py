@@ -598,7 +598,7 @@ def approx_distinct_count_by(
     groupby-max over at most 2^p rows per group key, and a per-group
     pass reduces registers to the estimate. This is the plan shape an
     exact count cannot have at 10^12 rows."""
-    from consult_ray.functions.sketch import hll_estimate, hll_register_updates
+    from consult_ray.functions.sketch import hll_register_updates
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -631,18 +631,51 @@ def approx_distinct_count_by(
         .aggregate(Max("rho", alias_name="rho"))
     )
 
-    def finalize(g: pa.Table) -> pa.Table:
-        regs = np.zeros(1 << p, dtype=np.int64)
-        regs[g["reg"].to_numpy(zero_copy_only=False)] = g["rho"].to_numpy(
-            zero_copy_only=False
+    # Finalize per HASH PARTITION, not per group: groupby(g).map_groups
+    # costs one Python call per group (days are cheap, but user/host
+    # group keys are not — the tiny-groups tax, CLAUDE.md). One kernel
+    # estimates every group in a partition: sort by group, segment the
+    # (reg, rho) rows, and compute the dense-register sum analytically —
+    # absent registers contribute 2^0 = 1 each, and every PRESENT
+    # register has rho >= 1 (hll_register_updates emits leading-zeros+1),
+    # so zeros-for-linear-counting = m - n_present exactly.
+    P = resolve_join_partitions(PipelineConfig())
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _hash_partition_col(batch[group_key], P)
         )
-        est = hll_estimate(regs, p)
+
+    def finalize_part(t: pa.Table) -> pa.Table:
+        g = t[group_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(g):
+            return pa.table({
+                group_key: pa.array([], pa.int64()),
+                out_name: pa.array([], pa.int64()),
+            })
+        rho = t["rho"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g_s, rho_s = g[order], rho[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        counts = np.diff(np.r_[starts, len(g_s)])
+        pow_sums = np.add.reduceat(np.power(2.0, -rho_s.astype(np.float64)), starts)
+        zeros = (m - counts).astype(np.float64)
+        raw = alpha * m * m / (pow_sums + zeros)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1.0), 1.0))
+        est = np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
         return pa.table({
-            group_key: g[group_key].slice(0, 1),
-            out_name: pa.array([int(round(est))], pa.int64()),
+            group_key: pa.array(g_s[starts]),
+            out_name: pa.array(np.rint(est).astype(np.int64)),
         })
 
-    return merged.groupby(group_key).map_groups(finalize, batch_format="pyarrow")
+    return (
+        merged.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(finalize_part, batch_format="pyarrow")
+    )
 
 
 def preagg_group_sum(ds: Dataset, key: str, value: str, out_name: str) -> Dataset:

@@ -199,6 +199,37 @@ def test_hll_approx_distinct_within_3pct(ray_session):
     assert rel.max() <= 0.03, rel.max()
 
 
+def test_hll_partition_finalize_matches_dense_reference(ray_session):
+    """The partition-vectorized HLL finalize (one kernel for ALL groups
+    in a hash partition) must reproduce the dense 2^p-register
+    hll_estimate per group: many synthetic groups with very different
+    cardinalities (including a 1-element group hitting the linear-count
+    branch), estimates equal to the reference within 1 count (the two
+    accumulation orders differ by ulps)."""
+    from consult_ray.functions.sketch import hll_estimate, hll_register_updates
+    from consult_ray.pipelines.operators import approx_distinct_count_by
+
+    p = 12
+    rng = np.random.default_rng(11)
+    gs, vs = [], []
+    for gid, card in enumerate([1, 7, 50, 400, 3000, 20000]):
+        vals = rng.integers(0, 1 << 62, size=card, dtype=np.int64)
+        vals = np.concatenate([vals, vals[: card // 2]])  # duplicates
+        gs.append(np.full(len(vals), gid, dtype=np.int64))
+        vs.append(vals)
+    g, v = np.concatenate(gs), np.concatenate(vs)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(8)
+    got = approx_distinct_count_by(ds, "g", "v", out_name="n", p=p).to_pandas()
+    got = dict(zip(got.g, got.n))
+    for gid in np.unique(g):
+        vals = np.unique(v[g == gid]).view(np.uint64)
+        idx, rho = hll_register_updates(vals, p, 7)
+        regs = np.zeros(1 << p, dtype=np.int64)
+        np.maximum.at(regs, idx, rho)
+        want = hll_estimate(regs, p)
+        assert abs(got[int(gid)] - int(round(want))) <= 1, (gid, got[int(gid)], want)
+
+
 def test_pagerank_hand_graph(ray_session):
     """Integer PageRank vs a naive per-node reference loop on a small
     directed graph with a dangling node (d has no outlinks) and a
