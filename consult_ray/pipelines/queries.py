@@ -346,9 +346,10 @@ def q_fingerprints(sf_dir: str):
 
 def q_doc_content_hashes(sf_dir: str):
     """Whole-document rolling-hash fingerprints (the exact-dedup content
-    key as a first-class surface). No SQL oracle — the 64-bit polynomial
-    hash is engine-internal; determinism + bit-equality with the scalar
-    reference implementation are pytest-asserted
+    key as a first-class surface). SQL-checked: the oracle replays the
+    polynomial byte hash + SplitMix64 finalizer in DuckDB HUGEINT
+    (_content_hash_sql below), bit-exact per doc; bit-equality with the
+    scalar reference is additionally pytest-asserted
     (tests/test_hashing.py::test_batch_doc_hash_matches_scalar)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     from consult_ray.stages.text import doc_fingerprint_batch
@@ -356,6 +357,52 @@ def q_doc_content_hashes(sf_dir: str):
     return docs.map_batches(
         lambda b: doc_fingerprint_batch(b).select(["doc_id", "content_hash"]),
         batch_format="pyarrow",
+    )
+
+
+def _content_hash_sql() -> str:
+    """DuckDB twin of hash_bytes_u64/hash_bytes_batch_u64: fold the
+    UTF-8 bytes of each doc left-to-right as acc = acc*B + byte (mod
+    2^64, acc seeded with the byte length — the numpy kernel's 64 KiB
+    chunking is just associativity of this same fold), then the
+    SplitMix64 finalizer, all in HUGEINT with 64x64 products split at
+    2^32 (they would overflow HUGEINT otherwise — same replay technique
+    as the shuffle_shards oracle). Bytes come from hex(encode(text))
+    nibble pairs so multi-byte UTF-8 is handled exactly."""
+    from consult_ray.functions.hashing import ROLL_BASE, _SM_GAMMA, _SM_M1, _SM_M2
+
+    gamma, m1, m2 = int(_SM_GAMMA), int(_SM_M1), int(_SM_M2)
+    m64, m32 = 1 << 64, 1 << 32
+
+    def mulmod(e: str, c: int) -> str:
+        return (
+            f"((({e}) % {m32}) * {c} + "
+            f"(((({e}) // {m32}) * {c}) % {m32}) * {m32}) % {m64}"
+        )
+
+    hexs = "upper(hex(encode(COALESCE(text, ''))))"
+    nib1 = f"(strpos('0123456789ABCDEF', substr({hexs}, 2*i-1, 1)) - 1)"
+    nib2 = f"(strpos('0123456789ABCDEF', substr({hexs}, 2*i, 1)) - 1)"
+    byte_list = (
+        f"list_transform(range(1, octet_length(encode(COALESCE(text,'')))+1), "
+        f"i -> CAST(16*{nib1} + {nib2} AS HUGEINT))"
+    )
+    init = "CAST(octet_length(encode(COALESCE(text,''))) AS HUGEINT)"
+    step = f"({mulmod('acc', int(ROLL_BASE))} + b) % {m64}"
+    poly = f"list_reduce(list_prepend({init}, {byte_list}), (acc, b) -> {step})"
+    return (
+        f"WITH p AS (SELECT doc_id, {poly} AS h FROM documents), "
+        f"s0 AS (SELECT doc_id, (h + {gamma}) % {m64} AS x FROM p), "
+        f"s1 AS (SELECT doc_id, "
+        f"{mulmod('xor(CAST(x AS HUGEINT), CAST(x AS HUGEINT) >> 30)', m1)} "
+        "AS x FROM s0), "
+        f"s2 AS (SELECT doc_id, "
+        f"{mulmod('xor(CAST(x AS HUGEINT), CAST(x AS HUGEINT) >> 27)', m2)} "
+        "AS x FROM s1), "
+        "s3 AS (SELECT doc_id, xor(CAST(x AS HUGEINT), "
+        "CAST(x AS HUGEINT) >> 31) AS x FROM s2) "
+        f"SELECT doc_id, CAST(CASE WHEN x >= {1 << 63} THEN x - {m64} "
+        "ELSE x END AS BIGINT) AS content_hash FROM s3"
     )
 
 
@@ -873,6 +920,7 @@ ORACLE_SQL = {
         "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
         "AS text_extracted FROM documents"
     ),
+    "doc_content_hashes": _content_hash_sql(),
     **EXTRA_ORACLE_SQL,
     **SCRUB_ORACLE_SQL,
     **TRAIN_ORACLE_SQL,
