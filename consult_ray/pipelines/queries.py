@@ -413,6 +413,43 @@ def q_lang_id(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+def _quality_scores_sql() -> str:
+    """DuckDB twin of stages.text.quality_score_batch: every output is a
+    per-row ELEMENTWISE IEEE-double expression (no grouped float sums),
+    so the same expression tree produces bit-identical doubles — token
+    split on single spaces (string_split == pc.split_pattern), RE2
+    counts on both sides ([^\\w\\s] punct, code-point length), clip =
+    least(greatest(...)), and floor(x*1e4+0.5)/1e4 rounding (pc.round
+    and DuckDB round() disagree by 1 ulp on some doubles; this shape is
+    exact IEEE ops). Verified bit-exact (not atol) on sf0.01 + sf0.1."""
+    from consult_ray.stages.text import _STOPWORDS
+
+    stops = ",".join(f"'{w}'" for w in _STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS nc,
+    CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS nt,
+    CAST(len(list_filter(string_split(text, ' '), x -> x IN ({stops}))) AS DOUBLE) AS ns,
+    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS npu
+  FROM documents),
+r AS (
+  SELECT doc_id,
+    (nc - (nt - 1)) / nt AS mean_token_len,
+    ns / nt AS stop_ratio,
+    npu / greatest(nc, 1) AS punct_ratio
+  FROM t)
+SELECT doc_id,
+  floor(mean_token_len*10000 + 0.5)/10000 AS mean_token_len,
+  floor(stop_ratio*10000 + 0.5)/10000 AS stop_ratio,
+  floor(punct_ratio*10000 + 0.5)/10000 AS punct_ratio,
+  floor((least(greatest(1 - abs(mean_token_len - 5.0)/5.0, 0), 1)*0.4
+  + least(greatest(stop_ratio*4, 0), 1)*0.3
+  + least(greatest(1 - punct_ratio*5, 0), 1)*0.3)*10000 + 0.5)/10000 AS quality_score
+FROM r
+"""
+
+
 def q_quality_scores(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -420,8 +457,15 @@ def q_quality_scores(sf_dir: str):
         out = quality_score_batch(batch).select(
             ["doc_id", "mean_token_len", "stop_ratio", "punct_ratio", "quality_score"]
         )
+        # floor(x*1e4 + 0.5)/1e4 instead of _round_col: pc.round and
+        # DuckDB round() disagree by 1 ulp on some doubles (0.82 vs
+        # 0.8200000000000001 on sf0.1); this shape is three exact IEEE
+        # ops both engines reproduce bit-identically (values are all
+        # >= 0 so floor(+0.5) is half-up everywhere)
         for c in ["mean_token_len", "stop_ratio", "punct_ratio", "quality_score"]:
-            out = _round_col(out, c, 4)
+            i = out.schema.get_field_index(c)
+            v = out[c].to_numpy(zero_copy_only=False)
+            out = out.set_column(i, c, pa.array(np.floor(v * 1e4 + 0.5) / 1e4))
         return out
 
     return docs.map_batches(fn, batch_format="pyarrow")
@@ -921,6 +965,7 @@ ORACLE_SQL = {
         "AS text_extracted FROM documents"
     ),
     "doc_content_hashes": _content_hash_sql(),
+    "quality_scores": _quality_scores_sql(),
     **EXTRA_ORACLE_SQL,
     **SCRUB_ORACLE_SQL,
     **TRAIN_ORACLE_SQL,
