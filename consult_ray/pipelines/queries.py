@@ -406,6 +406,53 @@ def _content_hash_sql() -> str:
     )
 
 
+def _lang_id_sql() -> str:
+    """DuckDB twin of stages.text.LangIdStage: the trigram profile table
+    the stage compiles in __init__ is embedded as a VALUES list (same
+    deterministic construction from _LANG_SAMPLES), and the
+    classification itself — byte trigrams of the lowercased
+    1000-code-point head, weight sum per (doc, lang), argmax with ties
+    to the alphabetically first language, zero-score docs -> 'und' — is
+    re-expressed relationally. Integer scores, so no float traps; ties
+    break identically (np.argmax takes the first max index over the
+    sorted lang axis == ORDER BY score DESC, lang ASC)."""
+    from consult_ray.stages.text import LangIdStage
+
+    st = LangIdStage()
+    rows = []
+    for ki, k in enumerate(st.vocab_keys):
+        for li, w in enumerate(st.weights[ki]):
+            if w > 0:
+                rows.append(f"({int(k)},'{st.langs[li]}',{int(w)})")
+    vals = ",".join(rows)
+    return rf"""
+WITH h AS (
+  SELECT doc_id, upper(hex(encode(left(lower(text), {LangIdStage.HEAD_BYTES})))) AS hx,
+         octet_length(encode(left(lower(text), {LangIdStage.HEAD_BYTES}))) AS n
+  FROM documents),
+b AS (
+  SELECT doc_id, n, list_transform(range(1, n+1),
+    i -> 16*(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bl
+  FROM h),
+tg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(n-2, 0)+1),
+    i -> bl[i]*65536 + bl[i+1]*256 + bl[i+2])) AS key
+  FROM b),
+v(key, lang, w) AS (VALUES {vals}),
+s AS (
+  SELECT tg.doc_id, v.lang, SUM(v.w)::BIGINT AS score
+  FROM tg JOIN v ON tg.key = v.key GROUP BY tg.doc_id, v.lang),
+best AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM s)
+SELECT d.doc_id, COALESCE(b2.lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1 AND score > 0) b2
+USING (doc_id)
+"""
+
+
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(
@@ -966,6 +1013,7 @@ ORACLE_SQL = {
     ),
     "doc_content_hashes": _content_hash_sql(),
     "quality_scores": _quality_scores_sql(),
+    "lang_id": _lang_id_sql(),
     **EXTRA_ORACLE_SQL,
     **SCRUB_ORACLE_SQL,
     **TRAIN_ORACLE_SQL,
