@@ -700,9 +700,9 @@ def q_embedding_clusters(sf_dir: str):
     (cos >= 0.35): cluster label = min vec_id in the component,
     singletons label themselves. This gives the CC operator itself a
     SQL oracle — a recursive transitive-closure CTE over the same
-    cosine predicate (dedup_clusters stays rows-only because text band
-    keys are engine-internal hashes; the cosine graph is
-    SQL-computable)."""
+    cosine predicate (since round 4 dedup_clusters ALSO has a full
+    HUGEINT band-key replay oracle in pipelines/flagship_oracle.py;
+    this one exercises CC over an independently-derived edge set)."""
     from consult_ray.pipelines.cluster import assign_clusters, connected_components
 
     edges = q_embedding_dup_pairs(sf_dir)  # exact pair gen (SQL-green itself)

@@ -99,17 +99,18 @@ _NIB1 = "(strpos('0123456789ABCDEF', substr(hx, 2*u-1, 1)) - 1)"
 _NIB2 = "(strpos('0123456789ABCDEF', substr(hx, 2*u, 1)) - 1)"
 
 
-def _sh_cte(k: int) -> str:
+def _sh_cte(k: int, src: str = "documents") -> str:
     """WITH-clause prefix computing sh(doc_id, h): every k-byte rolling
     shingle hash of the canonicalized text (docs shorter than k fall
     back to one whole-doc hash seeded with k, empty docs included) —
     the twin of functions.hashing.rolling_shingle_hashes over
-    functions.textnorm.canonicalize_column."""
+    functions.textnorm.canonicalize_column. src: any relation with
+    (doc_id, text) columns."""
     return f"""
 WITH RECURSIVE
 canon AS (
   SELECT doc_id, trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'), ' ') AS t
-  FROM documents
+  FROM {src}
 ),
 meta AS MATERIALIZED (
   SELECT doc_id, octet_length(encode(t)) AS n, upper(hex(encode(t))) AS hx FROM canon
@@ -286,7 +287,7 @@ dedges AS MATERIALIZED (
 ),
 sym AS (SELECT a, b FROM dedges UNION ALL SELECT b AS a, a AS b FROM dedges),
 reach(id, anc) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM {src}
   UNION
   SELECT r.id, e.b FROM reach r JOIN sym e ON e.a = r.anc
 ),
@@ -296,8 +297,68 @@ clusters AS (
 )"""
 
 
+def _string_hash_expr(col: str, seed: int) -> str:
+    """Whole-string rolling hash of a VARCHAR column, the twin of
+    functions.hashing.hash_bytes_u64 / stages.ids.hash_keys before its
+    >> 1: fold acc = acc*BASE + byte from acc = seed + byte_length,
+    then the SplitMix64 finalizer (same shape as
+    queries._content_hash_sql, parameterized by seed and column)."""
+    hexs = f"upper(hex(encode({col})))"
+    nib1 = f"(strpos('0123456789ABCDEF', substr({hexs}, 2*u-1, 1)) - 1)"
+    nib2 = f"(strpos('0123456789ABCDEF', substr({hexs}, 2*u, 1)) - 1)"
+    byte_list = (
+        f"list_transform(range(1, octet_length(encode({col}))+1), "
+        f"u -> CAST(16*{nib1} + {nib2} AS HUGEINT))"
+    )
+    init = f"((CAST({seed} AS HUGEINT) + octet_length(encode({col}))) % {M64})"
+    step = f"({_mulmod('acc', int(ROLL_BASE))} + b) % {M64}"
+    return _sm64(f"list_reduce(list_prepend({init}, {byte_list}), (acc, b) -> {step})")
+
+
+# the input_hint url derivation (pipelines.pagesview.PAGES_URL_SQL) and
+# the deterministic url -> int64 id (stages.ids.hash_keys: whole-string
+# hash >> 1, nonneg so the int64 bit pattern equals the value)
+_URL_SQL = "'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)"
+
+
+def _lookup_tail(cfg: PipelineConfig) -> str:
+    """The CONSULT search-workload twin (state.lookup.classify_queries /
+    state.library.classify_queries_partitioned, which are
+    pytest-asserted output-equal): corpus = doc_id < n//2 band buckets
+    capped at bucket_cap smallest doc_ids; each query band row is one
+    PROBE; a probe matches iff any capped bucket member has hd <= p;
+    match_count counts matching probes (the A4 counter,
+    /root/reference/main_search.cpp:766,868,996), match_doc is the min
+    matching member over all probes, matched = match_count >= c."""
+    cap, p, c = cfg.bucket_cap, cfg.hamming_budget, cfg.collision_threshold
+    return f""",
+allk AS (
+  SELECT doc_id, sim, 0 AS kind, band, band_key FROM sb
+  UNION ALL SELECT doc_id, sim, 1 AS kind, band, band_key FROM mb
+),
+half AS (SELECT COUNT(*) // 2 AS h FROM documents),
+cb AS MATERIALIZED (
+  SELECT doc_id, sim, band_key FROM allk, half WHERE doc_id < h
+  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= {cap}
+),
+qb AS (SELECT doc_id, sim, kind, band, band_key FROM allk, half WHERE doc_id >= h),
+hits AS (
+  SELECT q.doc_id, q.kind, q.band, MIN(c2.doc_id) AS mdoc
+  FROM qb q JOIN cb c2 ON c2.band_key = q.band_key AND c2.doc_id <> q.doc_id
+  WHERE bit_count(xor({_signed64('q.sim')}, {_signed64('c2.sim')})) <= {p}
+  GROUP BY 1, 2, 3
+),
+agg AS (SELECT doc_id, COUNT(*) AS mc, MIN(mdoc) AS md FROM hits GROUP BY doc_id)
+SELECT d.doc_id,
+       (COALESCE(a.mc, 0) >= {c}) AS matched,
+       CAST(COALESCE(a.mc, 0) AS BIGINT) AS match_count,
+       CAST(COALESCE(a.md, -1) AS BIGINT) AS match_doc
+FROM (SELECT doc_id FROM documents, half WHERE doc_id >= h) d
+LEFT JOIN agg a USING (doc_id)"""
+
+
 def flagship_oracle_sql(cfg: PipelineConfig) -> dict[str, str]:
-    """The seven flagship oracles, keyed by registry name."""
+    """The flagship oracles, keyed by registry name."""
     k, p = cfg.shingle_k, cfg.hamming_budget
     sh = _sh_cte(k)
     fp = _fp_cte()
@@ -312,13 +373,44 @@ allb AS (
     sb_src = "(SELECT doc_id, sim, band_key FROM sb) t"
     mb_src = "(SELECT doc_id, sim, band_key FROM mb) t"
     edge_sel = _EDGE_SELECT.format(p=p)
-    closure = _CLOSURE.format(p=p)
+    closure = _CLOSURE.format(p=p, src="documents")
 
     sim_chain = sh + fp + sb
     mh_chain = sh + fp + grid + mb
     all_chain = sh + fp + sb + grid + mb + allb
 
+    # url-keyed variant: same engine over (hash(url) >> 1, text); the
+    # pages variant extracts text from html first, but the extraction is
+    # byte-identity-pinned (extract_text(html) == text, itself
+    # SQL-checked by pages_extract_text), so both share this oracle.
+    from consult_ray.stages.ids import DEFAULT_ID_SEED
+
+    uhash = _string_hash_expr("url", DEFAULT_ID_SEED)
+    usrc = (
+        f"(SELECT CAST(({uhash}) // 2 AS BIGINT) AS doc_id, url, text "
+        f"FROM (SELECT {_URL_SQL} AS url, text FROM documents) u0) u1"
+    )
+    url_chain = (
+        _sh_cte(k, src=usrc) + fp + sb + grid + mb + allb
+        + _edges_tail(cfg, "allb") + _CLOSURE.format(p=p, src=usrc)
+    )
+    url_clusters = url_chain + f"""
+SELECT s.url AS url, r.url AS cluster_url
+FROM clusters c
+JOIN {usrc.replace(' u1', ' s')} ON s.doc_id = c.doc_id
+JOIN {usrc.replace(' u1', ' r')} ON r.doc_id = c.cluster_id"""
+
+    lookup_sql = sim_chain + grid + mb + _lookup_tail(cfg)
+
     return {
+        # the three lookup variants are pytest-asserted output-equal
+        # (library partitioned probe == broadcast CSR == Bloom-filtered)
+        # so they share one oracle
+        "lookup_classify": lookup_sql,
+        "lookup_classify_lib": lookup_sql,
+        "lookup_classify_bloom": lookup_sql,
+        "dedup_clusters_url": url_clusters,
+        "dedup_clusters_pages": url_clusters,
         "fingerprints": sh + fp + f"""
 SELECT doc_id, {_signed64('sim')} AS simhash, CAST(n_shingles AS BIGINT) AS n_shingles
 FROM fp""",
@@ -331,6 +423,27 @@ FROM (SELECT band_key, COUNT(*) AS cnt FROM allb GROUP BY band_key)
 GROUP BY cnt""",
         "dedup_clusters": all_chain + _edges_tail(cfg, "allb") + closure + """
 SELECT doc_id, cluster_id FROM clusters""",
+        # within-cluster suffix-array containment (stages.substring
+        # ._drop_contained): doc i drops iff some same-cluster j
+        # contains it and (texts differ, or i > j for exact equals).
+        # Character position() == byte containment on this corpus
+        # (same caveat as the substring_pairs oracle). Assumes no
+        # cluster exceeds GROUP_TEXT_BUDGET (true at oracle scale).
+        "substring_dedup": all_chain + _edges_tail(cfg, "allb") + closure + """,
+memb AS MATERIALIZED (
+  SELECT c.cluster_id, d.doc_id, d.text
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+drops AS (
+  SELECT i.doc_id
+  FROM memb i JOIN memb j
+  ON i.cluster_id = j.cluster_id AND i.doc_id <> j.doc_id
+  WHERE position(i.text IN j.text) > 0
+    AND (i.text <> j.text OR i.doc_id > j.doc_id)
+  GROUP BY i.doc_id
+)
+SELECT m.doc_id, m.cluster_id, (dr.doc_id IS NOT NULL) AS substring_dropped
+FROM memb m LEFT JOIN drops dr USING (doc_id)""",
         "cluster_best_docs": all_chain + _edges_tail(cfg, "allb") + closure + """
 SELECT d.doc_id, d.n_chars, c.cluster_id
 FROM clusters c JOIN documents d USING (doc_id)

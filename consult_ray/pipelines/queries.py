@@ -532,6 +532,11 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_substring_dedup(sf_dir: str):
+    """Within-cluster substring containment dedup (north_rule's
+    suffix-array stage, see stages/substring.py): near-dup clusters
+    -> drop docs contained in a same-cluster peer. SQL-checked since
+    round 4: the oracle replays the flagship closure then applies the
+    same containment drop rule declaratively (flagship_oracle.py)."""
     from consult_ray.stages.substring import substring_stage
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -606,7 +611,9 @@ def q_knn_ivf(sf_dir: str):
 
 def q_lookup_classify(sf_dir: str):
     """Stateful band-table membership: second half of the table queried
-    against the first half (CONSULT's search workload shape)."""
+    against the first half (CONSULT's search workload shape).
+    SQL-checked since round 4: flagship_oracle._lookup_tail replays the
+    capped corpus buckets and the per-probe any-match counters."""
     from consult_ray.state.lookup import classify_queries
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -684,7 +691,8 @@ def q_lookup_classify_lib(sf_dir: str):
     table is built ONCE from the corpus half, saved to disk partitioned
     by band-key range, and the probe side loads only the partition that
     owns each key range — no full-table broadcast. Must produce the
-    same classifications as `lookup_classify` (pytest-asserted)."""
+    same classifications as `lookup_classify` (pytest-asserted), so it
+    shares that query's SQL oracle."""
     from consult_ray.state.library import classify_queries_partitioned
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -700,8 +708,9 @@ def q_lookup_classify_bloom(sf_dir: str):
     miss the library's packed Bloom bits (built per manifest generation,
     ray.put once) drop BEFORE partition routing. A Bloom miss is never
     wrong, so the classification is provably identical to the exact
-    path (pytest-asserted in tests/test_bloom.py); the gain at scale is
-    novel-heavy probe streams skipping partition loads entirely."""
+    path (pytest-asserted in tests/test_bloom.py) and shares
+    lookup_classify's SQL oracle; the gain at scale is novel-heavy
+    probe streams skipping partition loads entirely."""
     import dataclasses
 
     from consult_ray.state.library import classify_queries_partitioned
@@ -858,9 +867,11 @@ def q_pages_extract_text(sf_dir: str):
 def q_dedup_clusters_pages(sf_dir: str):
     """The COMPLETE input_hint flow in one query: pages(url, warc_ts,
     html:binary, ...) -> pinned extraction -> url-keyed near-dup dedup
-    -> (url, cluster_url). No SQL oracle (band keys are engine hashes);
-    pytest asserts extraction byte-identity and cluster-partition
-    equality with the int64 documents path (tests/test_pages_flow.py)."""
+    -> (url, cluster_url). SQL-checked since round 4: shares the
+    url-keyed flagship replay (flagship_oracle.py; extraction
+    byte-identity is itself SQL-pinned by pages_extract_text); pytest
+    additionally asserts cluster-partition equality with the int64
+    documents path (tests/test_pages_flow.py)."""
     from consult_ray.functions.textnorm import extract_text_column
     from consult_ray.pipelines.dedup import dedup_url_pages
 
@@ -881,8 +892,10 @@ def q_dedup_clusters_url(sf_dir: str):
     """Flagship dedup over a URL-KEYED pages table (string keys, no
     int64 ids in the input — the input_hint schema). Deterministic
     url->int64 assignment, the unchanged int64 engine, then the id
-    round-trip back to urls. No SQL oracle (band keys are engine
-    hashes); pytest asserts cluster-partition equality with the
+    round-trip back to urls. SQL-checked since round 4: the oracle
+    replays the whole-string url hash, the band-key chain and the
+    transitive closure in DuckDB HUGEINT (flagship_oracle.py); pytest
+    additionally asserts cluster-partition equality with the
     int64-keyed path and a zero-collision id audit."""
     from consult_ray.pipelines.dedup import dedup_url_pages
 
@@ -1077,13 +1090,24 @@ _FRONT = [
     # themselves, never hash-witnessed before
     "fingerprints", "simhash_edges", "minhash_edges", "dedup_edges",
     "band_occupancy_hist", "dedup_clusters", "cluster_best_docs",
-    # SQL-oracled, green in r03 but code-touched in round 4
-    "doc_top_terms", "sessionized_events", "region_revenue",
-    "nation_order_value", "heavy_hitter_words",
-    # displaced to make room for the flagship family: exact_dedup_reps,
-    # dedup_survivors, source_top_docs, events_hourly, substring_pairs,
-    # minimizers, export_survivors — all green in r02 AND r03, still
-    # SQL-checked by pytest + tools/driver_sim.py just past the window
+    # SQL-oracled later in round 4, never driver-witnessed: the CONSULT
+    # search workload (capped-bucket probe counters), the input_hint
+    # url-keyed flagship, the suffix-array containment stage, and the
+    # trigram language classifier
+    "lookup_classify", "dedup_clusters_url", "substring_dedup",
+    "lang_id",
+    # SQL-oracled, red in r03 (the aggregate→join empty-block crash),
+    # fixed this round — its green row must be witnessed
+    "doc_top_terms",
+    # displaced to make room: exact_dedup_reps, dedup_survivors,
+    # source_top_docs, events_hourly, substring_pairs, minimizers,
+    # export_survivors, sessionized_events, region_revenue,
+    # nation_order_value, heavy_hitter_words — all green in r02/r03,
+    # still SQL-checked by pytest + tools/driver_sim.py just past the
+    # window, as are quality_scores / doc_content_hashes /
+    # lookup_classify_lib / lookup_classify_bloom / dedup_clusters_pages
+    # (pytest-asserted output-equal to their in-window twins or
+    # elementwise-only kernels)
 ]
 
 
