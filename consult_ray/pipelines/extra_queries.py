@@ -414,9 +414,11 @@ def q_approx_distinct_users_daily(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user) per day — the sketch
     twin of distinct_users_daily: the shuffle carries at most 2^p
     register rows per day instead of one row per (day, user) pair. No
-    SQL oracle (estimates are approximate by construction); pytest
-    asserts <=3% relative error vs the exact counts (sigma ~1.6% at
-    p=12, bound covers the max over ~30 daily draws)."""
+    SQL oracle on the ESTIMATE (its finalize is float); pytest asserts
+    <=3% relative error vs the exact counts (sigma ~1.6% at p=12, bound
+    covers the max over ~30 daily draws), and the underlying all-integer
+    register state is itself SQL-witnessed bit-exactly by
+    hll_registers_daily below."""
     from consult_ray.pipelines.operators import approx_distinct_count_by
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
@@ -437,6 +439,64 @@ def q_approx_distinct_users_daily(sf_dir: str):
         })
 
     return agg.map_batches(restore_day, batch_format="pyarrow")
+
+
+def q_hll_registers_daily(sf_dir: str):
+    """The HLL summary CONTENT, bit-exact: per (day, register) the max
+    rho over all user hashes (pipelines.operators.hll_register_maxima).
+    The estimate query above stays rows-only (its finalize is float);
+    this one witnesses the sketch itself against SQL — every column is
+    an integer produced by splitmix64/shift/clz, all replayable in
+    DuckDB HUGEINT (EXTRA_ORACLE_SQL), so the driver hash-compares the
+    exact mergeable state that approx_distinct folds into estimates."""
+    from consult_ray.pipelines.operators import hll_register_maxima
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day_us": pc.floor_temporal(batch["ts"], unit="day").cast(pa.int64()),
+            "user_id": batch["user_id"],
+        })
+
+    daily = ds.map_batches(add_day, batch_format="pyarrow")
+    regs = hll_register_maxima(daily, "day_us", "user_id")
+
+    def restore_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch["day_us"].cast(pa.timestamp("us")),
+            "reg": batch["reg"],
+            "rho": batch["rho"],
+        })
+
+    return regs.map_batches(restore_day, batch_format="pyarrow")
+
+
+def _hll_registers_sql(p: int = 12, seed: int = 7) -> str:
+    """DuckDB replay of hll_register_maxima over events: two's-complement
+    user_id -> uint64, splitmix64(u ^ seed) in HUGEINT (the same _sm64
+    twin the seeded-shuffle oracle uses), reg = top p bits, w = low
+    64-p bits shifted up, rho = clz(w)+1 via bin()'s minimal bit length
+    (bin(w) of a positive HUGEINT has exactly floor(log2 w)+1 digits)."""
+    from consult_ray.pipelines.flagship_oracle import M64, _sm64
+
+    cap = 64 - p + 1
+    u = f"(((CAST(user_id AS HUGEINT) % {M64}) + {M64}) % {M64})"
+    h = _sm64(f"xor({u}, CAST({seed} AS HUGEINT))")
+    return f"""
+WITH hashed AS (
+  SELECT date_trunc('day', ts) AS day, {h} AS h FROM events
+),
+regs AS (
+  SELECT day,
+         CAST(h // {1 << (64 - p)} AS BIGINT) AS reg,
+         (h * {1 << p}) % {M64} AS w
+  FROM hashed
+)
+SELECT day, reg,
+       CAST(MAX(CASE WHEN w = 0 THEN {cap}
+                ELSE LEAST(64 - length(bin(w)) + 1, {cap}) END) AS BIGINT) AS rho
+FROM regs GROUP BY day, reg"""
 
 
 def q_top_users_by_value(sf_dir: str):
@@ -1402,6 +1462,7 @@ EXTRA_QUERIES = {
     "token_stats_bpe": q_token_stats_bpe,
     "top_words": q_top_words,
     "approx_distinct_users_daily": q_approx_distinct_users_daily,
+    "hll_registers_daily": q_hll_registers_daily,
     "pages_latest_crawl": q_pages_latest_crawl,
     "line_dedup_stats": q_line_dedup_stats,
     "doc_repetition_stats": q_doc_repetition_stats,
@@ -1414,6 +1475,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "hll_registers_daily": _hll_registers_sql(),
     "export_survivors": (
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents "

@@ -581,23 +581,21 @@ def distinct_count_by(
     return preagg_group_count(deduped, group_key, out_name)
 
 
-def approx_distinct_count_by(
+def hll_register_maxima(
     ds: Dataset,
     group_key: str,
     distinct_key: str,
-    out_name: str = "n_distinct_approx",
     p: int = 12,
     seed: int = 7,
 ) -> Dataset:
-    """Approximate COUNT(DISTINCT distinct_key) GROUP BY group_key via
-    HyperLogLog (relative error ~1.04/sqrt(2^p), ~1.6% at p=12).
-
-    The exact path (distinct_count_by) shuffles one row per distinct
-    (group, value) pair — unbounded. Here each batch folds its values
-    into per-(group, register) maxima, the only shuffle is a
-    groupby-max over at most 2^p rows per group key, and a per-group
-    pass reduces registers to the estimate. This is the plan shape an
-    exact count cannot have at 10^12 rows."""
+    """The mergeable HLL summary itself: per (group_key, reg) the max
+    rho over every distinct_key hash (Flajolet et al. 2007). All-integer
+    and deterministic — splitmix64(value ^ seed), reg = top p bits,
+    rho = leading zeros of the rest + 1 — so unlike the float estimate
+    it admits a BIT-EXACT SQL oracle (the HUGEINT splitmix replay,
+    extra_queries "hll_registers_daily"). Each batch pre-folds to its
+    own (group, reg) maxima, so the only shuffle is a groupby-max over
+    at most 2^p rows per group key regardless of input size."""
     from consult_ray.functions.sketch import hll_register_updates
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -625,11 +623,31 @@ def approx_distinct_count_by(
             "rho": pa.array(maxes),
         })
 
-    merged = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([group_key, "reg"])
         .aggregate(Max("rho", alias_name="rho"))
     )
+
+
+def approx_distinct_count_by(
+    ds: Dataset,
+    group_key: str,
+    distinct_key: str,
+    out_name: str = "n_distinct_approx",
+    p: int = 12,
+    seed: int = 7,
+) -> Dataset:
+    """Approximate COUNT(DISTINCT distinct_key) GROUP BY group_key via
+    HyperLogLog (relative error ~1.04/sqrt(2^p), ~1.6% at p=12).
+
+    The exact path (distinct_count_by) shuffles one row per distinct
+    (group, value) pair — unbounded. Here each batch folds its values
+    into per-(group, register) maxima (hll_register_maxima), the only
+    shuffle is a groupby-max over at most 2^p rows per group key, and a
+    per-group pass reduces registers to the estimate. This is the plan
+    shape an exact count cannot have at 10^12 rows."""
+    merged = hll_register_maxima(ds, group_key, distinct_key, p=p, seed=seed)
 
     # Finalize per HASH PARTITION, not per group: groupby(g).map_groups
     # costs one Python call per group (days are cheap, but user/host
