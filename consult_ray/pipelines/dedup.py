@@ -817,3 +817,157 @@ def dedup_url_pages(
         })
 
     return out.map_batches(finalize, batch_format="pyarrow"), stats
+
+
+def dedup_tiers(
+    docs: Dataset,
+    cfg: PipelineConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """The full tiered-dedup attribution in one pass: every document ->
+    (doc_id, cluster_id, tier) with tier in {'exact', 'substring',
+    'near', 'survivor'} — the complete north-rule flow (exact dedup,
+    LSH near-dup clustering, suffix-array substring removal) with the
+    DROP REASON attributed per row, i.e. the per-tier accounting a
+    corpus-curation run reports (the reference's matched/unmatched
+    split, /root/reference/main_search.cpp:1021-1045, widened to name
+    WHICH stage claimed each record).
+
+    Tier precedence (each doc gets exactly one):
+      exact      doc_id != min doc_id of its identical-text group
+      substring  dropped by within-cluster containment (stages/substring)
+      near       survives both but is not its cluster's survivor
+                 (survivor = min non-substring-dropped member, the
+                 checkpointed pipeline's build_survivors rule)
+      survivor   the emitted representative
+
+    Plan (100 TB shape): the near-dup engine runs unchanged (one band
+    all-to-all, text moves only for the dup fraction); the exact tier
+    is ONE hash shuffle of 16 B (content_hash, id) rows with a
+    per-partition vectorized rep broadcast (never a per-hash-group
+    Python call); the survivor rule is folded into the same partition
+    kernel that carries the substring verdicts; the single stitch join
+    keys on doc_id with both sides schema-pinned (empty-block join
+    hazard, util.pin_schema docstring)."""
+    from consult_ray.pipelines.cluster import connected_components
+    from consult_ray.pipelines.operators import _hash_partition_col
+    from consult_ray.stages.substring import substring_stage
+    from consult_ray.stages.text import doc_fingerprint_batch
+    from consult_ray.util import pin_schema
+
+    P = resolve_join_partitions(cfg)
+    edges, _stats = dup_edges(docs, cfg, text_col=text_col, id_col=id_col)
+    labels = connected_components(edges, cfg).materialize()
+    sub = substring_stage(docs, labels, cfg, text_col=text_col, id_col=id_col)
+
+    # exact tier: rep = min doc_id per content hash. One 16 B/row hash
+    # shuffle; the rep broadcasts to its group inside a partition kernel
+    # (P Python calls total — the cap_partition shape, never per group).
+    def hash_part(batch: pa.Table) -> pa.Table:
+        t = doc_fingerprint_batch(batch, text_col=text_col)
+        t = t.select([id_col, "content_hash"])
+        return t.append_column(
+            "__part", _hash_partition_col(t["content_hash"], P)
+        )
+
+    def rep_kernel(g: pa.Table) -> pa.Table:
+        d = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(d):
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "rep_id": pa.array([], pa.int64()),
+            })
+        h = g["content_hash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        d_s, h_s = d[order], h[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        counts = np.diff(np.r_[starts, len(h_s)])
+        return pa.table({
+            id_col: pa.array(d_s),
+            "rep_id": pa.array(np.repeat(d_s[starts], counts)),
+        })
+
+    rep_map = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(hash_part, batch_format="pyarrow", **_throttle(cfg))
+        .groupby("__part")
+        .map_groups(rep_kernel, batch_format="pyarrow")
+    )
+
+    # survivor rule folded into one cluster-partitioned kernel over the
+    # substring verdicts (all rows of a cluster land in one partition)
+    def cluster_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _hash_partition_col(batch["cluster_id"], P)
+        )
+
+    def survivor_kernel(g: pa.Table) -> pa.Table:
+        d = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(d):
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "substring_dropped": pa.array([], pa.bool_()),
+                "survivor_id": pa.array([], pa.int64()),
+            })
+        c = g["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dr = g["substring_dropped"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((d, c))
+        d_s, c_s, dr_s = d[order], c[order], dr[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        counts = np.diff(np.r_[starts, len(c_s)])
+        # min non-dropped member; containment is a partial order and
+        # equal texts only drop the larger id, so >=1 always survives
+        masked = np.where(dr_s, np.iinfo(np.int64).max, d_s)
+        surv = np.minimum.reduceat(masked, starts)
+        return pa.table({
+            id_col: pa.array(d_s),
+            "cluster_id": pa.array(c_s),
+            "substring_dropped": pa.array(dr_s),
+            "survivor_id": pa.array(np.repeat(surv, counts)),
+        })
+
+    verdicts = (
+        sub.map_batches(cluster_part, batch_format="pyarrow", **_throttle(cfg))
+        .groupby("__part")
+        .map_groups(survivor_kernel, batch_format="pyarrow")
+    )
+
+    # single stitch join on doc_id; both sides are map_groups outputs
+    # (hazardous join inputs when partitions outnumber keys) -> pin
+    stitched = pin_schema(
+        verdicts,
+        pa.schema([
+            (id_col, pa.int64()), ("cluster_id", pa.int64()),
+            ("substring_dropped", pa.bool_()), ("survivor_id", pa.int64()),
+        ]),
+        cfg,
+    ).join(
+        pin_schema(
+            rep_map,
+            pa.schema([(id_col, pa.int64()), ("rep_id", pa.int64())]),
+            cfg,
+        ),
+        "inner",
+        P,
+        on=(id_col,),
+    )
+
+    def tier_kernel(batch: pa.Table) -> pa.Table:
+        d = batch[id_col].to_numpy(zero_copy_only=False)
+        rep = batch["rep_id"].to_numpy(zero_copy_only=False)
+        dr = batch["substring_dropped"].to_numpy(zero_copy_only=False).astype(bool)
+        surv = batch["survivor_id"].to_numpy(zero_copy_only=False)
+        tier = np.select(
+            [rep != d, dr, surv != d],
+            ["exact", "substring", "near"],
+            default="survivor",
+        )
+        return pa.table({
+            "doc_id": batch[id_col],
+            "cluster_id": batch["cluster_id"],
+            "tier": pa.array(tier.astype(object), pa.string()),
+        })
+
+    return stitched.map_batches(tier_kernel, batch_format="pyarrow")

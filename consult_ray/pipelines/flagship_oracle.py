@@ -357,6 +357,27 @@ FROM (SELECT doc_id FROM documents, half WHERE doc_id >= h) d
 LEFT JOIN agg a USING (doc_id)"""
 
 
+# within-cluster suffix-array containment (stages.substring
+# ._drop_contained): doc i drops iff some same-cluster j contains it
+# and (texts differ, or i > j for exact equals). Character position()
+# == byte containment on this corpus (same caveat as the
+# substring_pairs oracle). Assumes no cluster exceeds
+# GROUP_TEXT_BUDGET (true at oracle scale).
+_MEMB_DROPS = """,
+memb AS MATERIALIZED (
+  SELECT c.cluster_id, d.doc_id, d.text
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+drops AS (
+  SELECT i.doc_id
+  FROM memb i JOIN memb j
+  ON i.cluster_id = j.cluster_id AND i.doc_id <> j.doc_id
+  WHERE position(i.text IN j.text) > 0
+    AND (i.text <> j.text OR i.doc_id > j.doc_id)
+  GROUP BY i.doc_id
+)"""
+
+
 def flagship_oracle_sql(cfg: PipelineConfig) -> dict[str, str]:
     """The flagship oracles, keyed by registry name."""
     k, p = cfg.shingle_k, cfg.hamming_budget
@@ -423,27 +444,34 @@ FROM (SELECT band_key, COUNT(*) AS cnt FROM allb GROUP BY band_key)
 GROUP BY cnt""",
         "dedup_clusters": all_chain + _edges_tail(cfg, "allb") + closure + """
 SELECT doc_id, cluster_id FROM clusters""",
-        # within-cluster suffix-array containment (stages.substring
-        # ._drop_contained): doc i drops iff some same-cluster j
-        # contains it and (texts differ, or i > j for exact equals).
-        # Character position() == byte containment on this corpus
-        # (same caveat as the substring_pairs oracle). Assumes no
-        # cluster exceeds GROUP_TEXT_BUDGET (true at oracle scale).
-        "substring_dedup": all_chain + _edges_tail(cfg, "allb") + closure + """,
-memb AS MATERIALIZED (
-  SELECT c.cluster_id, d.doc_id, d.text
-  FROM clusters c JOIN documents d USING (doc_id)
-),
-drops AS (
-  SELECT i.doc_id
-  FROM memb i JOIN memb j
-  ON i.cluster_id = j.cluster_id AND i.doc_id <> j.doc_id
-  WHERE position(i.text IN j.text) > 0
-    AND (i.text <> j.text OR i.doc_id > j.doc_id)
-  GROUP BY i.doc_id
-)
+        # the containment-drop fragment is shared with dedup_tiers
+        # below; see _MEMB_DROPS for the drop-rule notes
+        "substring_dedup": all_chain + _edges_tail(cfg, "allb") + closure
+        + _MEMB_DROPS + """
 SELECT m.doc_id, m.cluster_id, (dr.doc_id IS NOT NULL) AS substring_dropped
 FROM memb m LEFT JOIN drops dr USING (doc_id)""",
+        # tiered attribution (pipelines.dedup.dedup_tiers): exact =
+        # non-min of an identical-text group; substring = containment
+        # drop; near = survives both but is not the cluster's survivor
+        # (min non-dropped member, checkpointed build_survivors rule).
+        # Precedence exact > substring > near mirrors np.select order.
+        "dedup_tiers": all_chain + _edges_tail(cfg, "allb") + closure
+        + _MEMB_DROPS + """,
+reps AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep FROM documents),
+surv AS (
+  SELECT m.cluster_id, MIN(m.doc_id) AS survivor
+  FROM memb m LEFT JOIN drops dr USING (doc_id)
+  WHERE dr.doc_id IS NULL GROUP BY m.cluster_id
+)
+SELECT m.doc_id, m.cluster_id,
+       CASE WHEN r.rep <> m.doc_id THEN 'exact'
+            WHEN dr.doc_id IS NOT NULL THEN 'substring'
+            WHEN m.doc_id <> s.survivor THEN 'near'
+            ELSE 'survivor' END AS tier
+FROM memb m
+JOIN reps r ON r.doc_id = m.doc_id
+LEFT JOIN drops dr ON dr.doc_id = m.doc_id
+JOIN surv s ON s.cluster_id = m.cluster_id""",
         "cluster_best_docs": all_chain + _edges_tail(cfg, "allb") + closure + """
 SELECT d.doc_id, d.n_chars, c.cluster_id
 FROM clusters c JOIN documents d USING (doc_id)

@@ -545,6 +545,22 @@ def q_substring_dedup(sf_dir: str):
     return substring_stage(docs, labels, CFG)
 
 
+def q_dedup_tiers(sf_dir: str):
+    """The tier-dedup capstone: every document attributed to the stage
+    that claimed it — 'exact' (identical-text non-representative),
+    'substring' (within-cluster containment drop), 'near' (clustered,
+    not the survivor), 'survivor' — in one composed pipeline
+    (pipelines.dedup.dedup_tiers). SQL-checked: the oracle replays the
+    flagship closure, the containment drop rule, the identical-text
+    window-min and the min-non-dropped survivor rule declaratively
+    (flagship_oracle.py), so the whole tiered flow is hash-witnessed
+    end-to-end."""
+    from consult_ray.pipelines.dedup import dedup_tiers
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_tiers(docs, CFG)
+
+
 def q_knn_lsh(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = add_hyperplane_buckets(ds, CFG, n_planes=8)
@@ -953,6 +969,7 @@ QUERIES = {
     "doc_content_hashes": q_doc_content_hashes,
     "quality_scores": q_quality_scores,
     "substring_dedup": q_substring_dedup,
+    "dedup_tiers": q_dedup_tiers,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
@@ -1078,7 +1095,7 @@ _FRONT = [
     "top_words", "pages_latest_crawl", "line_dedup_stats",
     "doc_repetition_stats", "domain_stats", "gopher_filter",
     "stratified_sample", "length_quantiles", "crawl_changed",
-    "boilerplate_scrub", "docs_from_jsonl", "docs_from_csv",
+    "boilerplate_scrub", "docs_from_csv",
     "pii_redact", "url_canonical", "decontaminate", "docs_from_fasta",
     "docs_from_fastq", "quality_features", "doc_chunks",
     "pack_sequences", "pages_links", "host_pagerank",
@@ -1095,15 +1112,18 @@ _FRONT = [
     # url-keyed flagship, the suffix-array containment stage, and the
     # trigram language classifier
     "lookup_classify", "dedup_clusters_url", "substring_dedup",
-    "lang_id",
+    "dedup_tiers", "lang_id",
     # SQL-oracled, red in r03 (the aggregate→join empty-block crash),
     # fixed this round — its green row must be witnessed
     "doc_top_terms",
     # displaced to make room: exact_dedup_reps, dedup_survivors,
     # source_top_docs, events_hourly, substring_pairs, minimizers,
     # export_survivors, sessionized_events, region_revenue,
-    # nation_order_value, heavy_hitter_words — all green in r02/r03,
-    # still SQL-checked by pytest + tools/driver_sim.py just past the
+    # nation_order_value, heavy_hitter_words — all green in r02/r03 —
+    # and docs_from_jsonl (the vanilla twin of the in-window
+    # docs_from_csv source round-trip, which carries the type-stability
+    # fix worth witnessing; jsonl yielded its slot to dedup_tiers).
+    # All remain SQL-checked by pytest + tools/driver_sim.py just past the
     # window, as are quality_scores / doc_content_hashes /
     # lookup_classify_lib / lookup_classify_bloom / dedup_clusters_pages
     # (pytest-asserted output-equal to their in-window twins or
