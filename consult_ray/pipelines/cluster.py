@@ -98,46 +98,132 @@ def _directed_edges(edges: Dataset) -> Dataset:
 
 def _propagate_round(diredges: Dataset, labels: Dataset, num_partitions: int) -> Dataset:
     """One min-label round: each directed edge ships its source's label
-    to its destination; a node's new label = Min(own, incoming). This is
-    value-identical per round to the send-min(la,lb)-to-both-endpoints
-    formulation (the Min aggregate re-forms min(la, lb) at each
-    endpoint because `labels` rides the union), but needs ONE join
-    against the static directed-edge table instead of two chained joins
-    — and a join output feeding another join crashes Acero whenever the
-    intermediate's first block lands on an empty hash partition
-    (consult_ray.util.pin_schema docstring)."""
-    # labels is a hash-aggregate output (groupby-min); at partition
-    # counts above the distinct node count its empty partitions are
-    # schema-less blocks that crash Acero inside Dataset.join — pin the
-    # schema first (consult_ray.util.pin_schema docstring)
-    from consult_ray.util import pin_schema
+    to its destination; a node's new label = Min(own, incoming) — plus
+    an in-round `changed` witness so convergence needs NO confirmation
+    round (the sum-equality witness cost one full extra round).
 
-    labels = pin_schema(labels, LABEL_SCHEMA)
-    withL = diredges.join(
-        labels, "inner", num_partitions, on=("src",), right_on=("node",)
-    )  # src, dst, label(=label of src)
+    NO Dataset.join and NO native groupby(key) aggregate: both pay
+    per-partition/per-key machinery costs that dwarf the data movement
+    at web scale (the join: measured 46 s/round for a 46.5M-row edge
+    table whose bytes move in ~10 s; the aggregate: 58x per-key tax,
+    util.partitioned_group_min docstring). Instead the round is TWO
+    co-partitioned kernel shuffles of the same bytes:
 
-    def msgs(batch: pa.Table) -> pa.Table:
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        lab = batch["label"].to_numpy(zero_copy_only=False)
-        # per-block pre-combine: one (node, min label) row per distinct
-        # destination, so the groupby-min shuffle moves per-node
-        # partials, not one row per directed edge
-        order = np.argsort(dst, kind="stable")
-        dst, lab = dst[order], lab[order]
-        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
-        mins = np.minimum.reduceat(lab, starts)
-        return pa.table({"node": pa.array(dst[starts]), "label": pa.array(mins)})
+      1. gather: edges (k=src, dst) and labels (k=node, label) union
+         into one stream hash-partitioned on k; a per-partition kernel
+         sorted-gathers label[src] (every src has a label — labels are
+         seeded from edge endpoints and nodes are never dropped) and
+         emits per-dst min partials.
+      2. merge: labels (tag 0) union messages (tag 1) hash-partitioned
+         on node; a per-partition kernel emits (node, label=min,
+         changed=any incoming < own).
 
-    messages = withL.map_batches(msgs, batch_format="pyarrow")
-    # min-merge via the partition kernel, not groupby(node).Min — the
-    # native aggregate's per-distinct-key cost made every round pay
-    # ~2 minutes at 2.6M nodes (see _edge_nodes docstring; measured
-    # round wall 125 s -> single-digit seconds with this shape)
-    from consult_ray.util import partitioned_group_min
+    The join-free shape also removes the empty-block Acero hazard
+    (util.pin_schema docstring) from the loop entirely. Output schema:
+    (node, label, changed:int8); callers strip/aggregate `changed`."""
+    from consult_ray.util import hash_partition_col
 
-    return partitioned_group_min(
-        labels.union(messages), "node", "label", num_partitions
+    P = num_partitions
+    I64_MAX = np.iinfo(np.int64).max
+
+    def edges_kd(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "k": batch["src"],
+            "dst": batch["dst"],
+            "label": pa.nulls(n, pa.int64()),
+        })
+
+    def labels_kd(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "k": batch["node"],
+            "dst": pa.nulls(n, pa.int64()),
+            "label": batch["label"],
+        })
+
+    def part_k(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__part", hash_partition_col(batch["k"], P))
+
+    def gather_kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "node": pa.array([], pa.int64()), "label": pa.array([], pa.int64()),
+        })
+        if not g.num_rows:
+            return empty
+        k = g["k"].to_numpy(zero_copy_only=False)
+        # int64-with-nulls must NOT round-trip through float (precision):
+        # take the validity mask first, then fill
+        is_edge = pc.is_valid(g["dst"].combine_chunks()).to_numpy(zero_copy_only=False)
+        dst = g["dst"].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False)
+        lab = g["label"].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False)
+        ln, ll = k[~is_edge], lab[~is_edge]
+        es, ed = k[is_edge], dst[is_edge]
+        if not len(es):
+            return empty
+        o = np.argsort(ln, kind="stable")
+        ln_s, ll_s = ln[o], ll[o]
+        elab = ll_s[np.searchsorted(ln_s, es)]
+        # per-dst min partial (one row per distinct dst in the partition)
+        o2 = np.lexsort((elab, ed))
+        ed_s, el_s = ed[o2], elab[o2]
+        starts = np.flatnonzero(np.r_[True, ed_s[1:] != ed_s[:-1]])
+        return pa.table({
+            "node": pa.array(ed_s[starts]),
+            "label": pa.array(np.minimum.reduceat(el_s, starts)),
+        })
+
+    messages = (
+        diredges.map_batches(edges_kd, batch_format="pyarrow")
+        .union(labels.map_batches(labels_kd, batch_format="pyarrow"))
+        .map_batches(part_k, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(gather_kernel, batch_format="pyarrow")
+    )
+
+    def tag(t: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["node"], "label": batch["label"],
+                "tag": pa.array(np.full(batch.num_rows, t, dtype=np.int8)),
+            })
+        return fn
+
+    def part_node(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", hash_partition_col(batch["node"], P)
+        )
+
+    def merge_kernel(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({
+                "node": pa.array([], pa.int64()), "label": pa.array([], pa.int64()),
+                "changed": pa.array([], pa.int8()),
+            })
+        n = g["node"].to_numpy(zero_copy_only=False)
+        l = g["label"].to_numpy(zero_copy_only=False)
+        t = g["tag"].to_numpy(zero_copy_only=False)
+        # every node has EXACTLY ONE tag-0 (own-label) row; incoming
+        # tag-1 message rows are optional
+        own = np.where(t == 0, l, I64_MAX)
+        inc = np.where(t == 1, l, I64_MAX)
+        o = np.argsort(n, kind="stable")
+        n_s, own_s, inc_s = n[o], own[o], inc[o]
+        starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+        old = np.minimum.reduceat(own_s, starts)
+        m = np.minimum.reduceat(inc_s, starts)
+        return pa.table({
+            "node": pa.array(n_s[starts]),
+            "label": pa.array(np.minimum(old, m)),
+            "changed": pa.array((m < old).astype(np.int8)),
+        })
+
+    return (
+        labels.map_batches(tag(0), batch_format="pyarrow")
+        .union(messages.map_batches(tag(1), batch_format="pyarrow"))
+        .map_batches(part_node, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_kernel, batch_format="pyarrow")
     )
 
 
@@ -252,42 +338,55 @@ def connected_components_distributed(
                 )
             labels = rd.read_parquet(
                 fsio.join(ckroot, data), filesystem=fs
-            )
-            # the next round compares against the sum AFTER the resumed
-            # round (the loop's prev_sum = cur assignment)
+            ).select_columns(["node", "label"])
+            # n_changed == 0 is the committed convergence witness (new
+            # manifests); legacy label_sum-only manifests can't prove
+            # convergence, so resuming them just runs (idempotent)
+            # rounds until the in-round witness fires
+            if meta.get("n_changed") == 0:
+                return labels
             prev_sum = meta["label_sum"]
             start_round = last + 1
 
     if labels is None:
         labels = _edge_nodes(edges, resolve_join_partitions(cfg)).materialize()
     if labels.count() == 0:
-        # empty edge set: no nodes, nothing to propagate. Without this
-        # the Sum witness stays None every round (None == None is never
-        # reached past the prev_sum guard) and the loop would burn
-        # cc_max_iters rounds writing empty checkpoints.
+        # empty edge set: no nodes, nothing to propagate — and the loop
+        # below would otherwise burn cc_max_iters rounds writing empty
+        # checkpoints (an empty round's witness can never fire).
         return labels
     diredges = _directed_edges(
         _contract_blocks(edges.select_columns(["a", "b"]))
     ).materialize()
     for i in range(start_round, cfg.cc_max_iters):
-        labels = _propagate_round(diredges, labels, resolve_join_partitions(cfg)).materialize()
-        row = labels.aggregate(Sum("label", alias_name="s"))
-        cur = row["s"] if isinstance(row, dict) else row
+        out = _propagate_round(
+            diredges, labels, resolve_join_partitions(cfg)
+        ).materialize()
+        # in-round witness: rounds end as soon as no label improved —
+        # the previous sum-equality witness needed one full CONFIRM
+        # round after convergence (a ~50 s round at 2.6M nodes / 46.5M
+        # directed edges on this host) plus a full-label Sum
+        row = out.aggregate(Sum("changed", alias_name="c"))
+        n_changed = row["c"] if isinstance(row, dict) else row
+        labels = out.select_columns(["node", "label"])
         if checkpoint_dir:
+            row = labels.aggregate(Sum("label", alias_name="s"))
+            cur = row["s"] if isinstance(row, dict) else row
             gen = f"cc_round_{i}-{uuid.uuid4().hex[:8]}"
             labels.write_parquet(fsio.join(ckroot, gen), filesystem=fs)
             # commit point: one single-object PUT naming the data dir;
-            # cur is None for an empty label set (Ray's aggregate over
-            # an empty dataset) — keep it as JSON null
+            # label_sum stays for auditability/legacy readers, n_changed
+            # is the convergence witness
             fsio.write_json(fs, fsio.join(ckroot, f"cc_round_{i}.json"), {
                 "round": i,
                 "data": gen,
                 "label_sum_before": prev_sum,
                 "label_sum": int(cur) if cur is not None else None,
+                "n_changed": int(n_changed) if n_changed is not None else None,
             })
-        if prev_sum is not None and cur == prev_sum:
+            prev_sum = cur
+        if not n_changed:
             break
-        prev_sum = cur
     return labels
 
 
