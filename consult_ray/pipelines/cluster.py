@@ -163,7 +163,15 @@ def _propagate_round(diredges: Dataset, labels: Dataset, num_partitions: int) ->
             return empty
         o = np.argsort(ln, kind="stable")
         ln_s, ll_s = ln[o], ll[o]
-        elab = ll_s[np.searchsorted(ln_s, es)]
+        pos = np.searchsorted(ln_s, es)
+        # every edge src must have a label row co-partitioned with it;
+        # a broken invariant (e.g. resuming a cc_rounds checkpoint
+        # against a CHANGED edge set) would otherwise silently gather a
+        # wrong label — fail loudly instead (cheap vectorized check)
+        assert pos.size == 0 or (
+            int(pos.max()) < len(ln_s) and bool((ln_s[pos] == es).all())
+        ), "CC gather: edge src without a label row in its partition"
+        elab = ll_s[pos]
         # per-dst min partial (one row per distinct dst in the partition)
         o2 = np.lexsort((elab, ed))
         ed_s, el_s = ed[o2], elab[o2]
@@ -358,17 +366,27 @@ def connected_components_distributed(
     diredges = _directed_edges(
         _contract_blocks(edges.select_columns(["a", "b"]))
     ).materialize()
+    P = resolve_join_partitions(cfg)
     for i in range(start_round, cfg.cc_max_iters):
-        out = _propagate_round(
-            diredges, labels, resolve_join_partitions(cfg)
-        ).materialize()
+        out = _propagate_round(diredges, labels, P).materialize()
         # in-round witness: rounds end as soon as no label improved —
         # the previous sum-equality witness needed one full CONFIRM
         # round after convergence (a ~50 s round at 2.6M nodes / 46.5M
         # directed edges on this host) plus a full-label Sum
         row = out.aggregate(Sum("changed", alias_name="c"))
         n_changed = row["c"] if isinstance(row, dict) else row
-        labels = out.select_columns(["node", "label"])
+        # REPARTITION before the next round: Ray 2.49's sort shuffle
+        # emits one output block per INPUT block (not per partition), so
+        # each round's label set would otherwise inherit
+        # blocks(labels) + blocks(messages) blocks — an EXPONENTIAL
+        # per-round block growth (L_{i+1} = 2 L_i + D; measured: a
+        # 10-block 1000-node path graph reached ~2550 blocks by round 7
+        # and a single merge round spawned 5110 map tasks). Bounding
+        # labels at P row-range blocks keeps every round's task count
+        # O(P + blocks(diredges)).
+        labels = (
+            out.select_columns(["node", "label"]).repartition(P).materialize()
+        )
         if checkpoint_dir:
             row = labels.aggregate(Sum("label", alias_name="s"))
             cur = row["s"] if isinstance(row, dict) else row

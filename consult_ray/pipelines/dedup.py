@@ -39,7 +39,6 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 from consult_ray.config import PipelineConfig
 from consult_ray.util import resolve_join_partitions
@@ -91,12 +90,19 @@ def _partial_key_counts(batch: pa.Table) -> pa.Table:
 
 
 def band_key_census(bands: Dataset, cfg: PipelineConfig) -> Dataset:
-    """Exact per-key member counts via partial counts -> small groupby.
-    The skew detector (A3 analog)."""
+    """Exact per-key member counts via partial counts -> partition-
+    kernel merge. The skew detector (A3 analog). band_key cardinality
+    scales with the corpus, so the merge never runs as a native
+    per-distinct-key aggregate (the measured 58x cliff, 4fb6a54)."""
+    from consult_ray.util import partitioned_group_agg
+
     partial = bands.map_batches(
         _partial_key_counts, batch_format="pyarrow", **_throttle(cfg)
     )
-    return partial.groupby("band_key").aggregate(Sum("cnt", alias_name="cnt"))
+    return partitioned_group_agg(
+        partial, "band_key", [("cnt", "sum", "cnt")],
+        resolve_join_partitions(cfg),
+    )
 
 
 def hot_band_keys(census: Dataset, cfg: PipelineConfig) -> tuple[set[int], int]:
@@ -137,14 +143,34 @@ def cap_hot_buckets(bands: Dataset, cfg: PipelineConfig, hot_keys: set[int]) -> 
 
     cold = bands.map_batches(split_cold, batch_format="pyarrow", **_throttle(cfg))
 
-    def cap_group(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
-        return g.take(order[: cfg.bucket_cap])
+    # Same partition-kernel shape as cap_hot_buckets_sketch (one
+    # vectorized multi-bucket cap per HASH PARTITION, with a per-block
+    # partial cap bounding any one key's contribution) — never
+    # groupby(band_key).map_groups, whose one-Python-call-per-hot-key
+    # cost and downstream block fragmentation are the measured 2x tax
+    # the fused path engineered out.
+    from consult_ray.pipelines.operators import _top_k_batch
+
+    cap, P = cfg.bucket_cap, resolve_join_partitions(cfg)
+
+    def partial_cap(batch: pa.Table) -> pa.Table:
+        return _top_k_batch(batch, "band_key", [("doc_id", False)], cap, None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        part = (k % np.uint64(P)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def cap_partition(g: pa.Table) -> pa.Table:
+        t = _top_k_batch(g, "band_key", [("doc_id", False)], cap, None)
+        return t.drop_columns(["part"]).combine_chunks()
 
     capped_hot = (
         bands.map_batches(split_hot, batch_format="pyarrow", **_throttle(cfg))
-        .groupby("band_key")
-        .map_groups(cap_group, batch_format="pyarrow")
+        .map_batches(partial_cap, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cap_partition, batch_format="pyarrow")
     )
     return cold.union(capped_hot)
 
@@ -635,45 +661,78 @@ def pair_count_threshold(edges: Dataset, cfg: PipelineConfig) -> Dataset:
     multiplicity would overcount by up to S. Edges are first collapsed on
     (a, b, band_kind, band) — within which each pair can legitimately
     appear only once, since every doc emits exactly one row per band —
-    then counted per (a, b). Both groupby partials are Arrow-native
-    (pa.Table.group_by), no pandas round-trip."""
+    then counted per (a, b).
+
+    Plan shape: pair cardinality scales with the corpus, so neither
+    collapse runs as a native per-distinct-key aggregate (the measured
+    58x cliff, commit 4fb6a54). Both FUSE into ONE shuffle: rows
+    hash-partition on (a, b) — a prefix of the distinctness key, so a
+    pair's every band collision lands in the same partition — and one
+    lexsort kernel per partition dedupes on (a, b, band_kind, band),
+    counts distinct collisions per (a, b), and applies the threshold.
+    The per-batch Arrow-native pre-combine still shrinks the shuffle."""
     if cfg.collision_threshold <= 1:
         return edges.select_columns(["a", "b", "hamming"])
 
-    from ray.data.aggregate import Min
+    from consult_ray.util import (
+        grouped,
+        hash_partition_cols,
+        resolve_join_partitions,
+    )
 
     BAND_KEYS = ["a", "b", "band_kind", "band"]
+    num_partitions = resolve_join_partitions(cfg)
+    c = cfg.collision_threshold
 
     def dedupe_partial(batch: pa.Table) -> pa.Table:
-        from consult_ray.util import grouped
-
-        return grouped(
+        t = grouped(
             batch.select(BAND_KEYS + ["hamming"]),
             BAND_KEYS, [("hamming", "min")], ["hamming"],
         )
-
-    deduped = (
-        edges.map_batches(dedupe_partial, batch_format="pyarrow")
-        .groupby(BAND_KEYS)
-        .aggregate(Min("hamming", alias_name="hamming"))
-    )
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        from consult_ray.util import grouped
-
-        return grouped(
-            batch,
-            ["a", "b"], [("hamming", "min"), ("hamming", "count")],
-            ["hamming", "n"],
+        return t.append_column(
+            "__part", hash_partition_cols(t, ["a", "b"], num_partitions)
         )
 
-    counted = (
-        deduped.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Sum("n", alias_name="n"), Min("hamming", alias_name="hamming"))
-    )
-    return counted.filter(expr=f"n >= {cfg.collision_threshold}").select_columns(
-        ["a", "b", "hamming"]
+    def kernel(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        ham_t = g.schema.field("hamming").type
+        if n == 0:
+            return pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], ham_t),
+            })
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        bk = g["band_kind"].to_numpy(zero_copy_only=False)
+        bd = g["band"].to_numpy(zero_copy_only=False)
+        h = g["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, bd, bk, b, a))
+        a, b, bk, bd, h = a[order], b[order], bk[order], bd[order], h[order]
+        # first row of each (a, b, band_kind, band) run carries the
+        # run's min hamming (h is the innermost ascending sort key)
+        first = np.r_[
+            True,
+            (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            | (bk[1:] != bk[:-1]) | (bd[1:] != bd[:-1]),
+        ]
+        a2, b2, h2 = a[first], b[first], h[first]
+        starts = np.flatnonzero(
+            np.r_[True, (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])]
+        )
+        cnt = np.diff(np.r_[starts, len(a2)])
+        keep = cnt >= c
+        hmin = np.minimum.reduceat(h2, starts)
+        return pa.table({
+            "a": pa.array(a2[starts][keep]),
+            "b": pa.array(b2[starts][keep]),
+            "hamming": pa.array(hmin[keep]).cast(ham_t),
+        })
+
+    return (
+        edges.map_batches(dedupe_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(kernel, batch_format="pyarrow")
     )
 
 

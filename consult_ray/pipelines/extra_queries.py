@@ -118,13 +118,20 @@ def q_nation_order_value(sf_dir: str):
             ["total_cents", "n_orders"],
         )
 
-    from consult_ray.util import pin_schema
+    from consult_ray.util import partitioned_group_agg, pin_schema
 
+    # custkey cardinality scales with the corpus: the native hash
+    # aggregate's per-distinct-key cost (58x at 2.6M keys, commit
+    # 4fb6a54) makes it a scale cliff — merge the per-batch partials
+    # with one partition kernel instead.
     per_cust = pin_schema(
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("total_cents", alias_name="total_cents"),
-                   Sum("n_orders", alias_name="n_orders")),
+        partitioned_group_agg(
+            orders.map_batches(partial, batch_format="pyarrow"),
+            "o_custkey",
+            [("total_cents", "sum", "total_cents"),
+             ("n_orders", "sum", "n_orders")],
+            resolve_join_partitions(CFG),
+        ),
         pa.schema([("o_custkey", pa.int64()), ("total_cents", pa.int64()),
                    ("n_orders", pa.int64())]),
     )
@@ -502,8 +509,13 @@ FROM regs GROUP BY day, reg"""
 def q_top_users_by_value(sf_dir: str):
     """Top-20 users by total event value. Values convert to integer cents
     per row BEFORE summing so the distributed sum is associative and
-    bit-exact vs the oracle; pre-aggregated per batch, then a small
-    groupby + sort + limit."""
+    bit-exact vs the oracle; pre-aggregated per batch, then a
+    partition-kernel merge (user_id cardinality scales with the corpus
+    — the native per-distinct-key aggregate is the measured 58x cliff,
+    4fb6a54) with a per-partition top-20 trim before the tiny global
+    sort (same superset argument as q_top_words)."""
+    from consult_ray.util import partitioned_group_agg
+
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -519,12 +531,21 @@ def q_top_users_by_value(sf_dir: str):
             ["user_id"], [("total_cents", "sum")], ["total_cents"],
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("total_cents", alias_name="total_cents"))
+    agg = partitioned_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("total_cents", "sum", "total_cents")],
+        resolve_join_partitions(CFG),
     )
-    return agg.sort(["total_cents", "user_id"], descending=[True, False]).limit(20)
+
+    def trim(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("total_cents", "descending"), ("user_id", "ascending")],
+        )
+        return batch.take(idx[:20])
+
+    top = agg.map_batches(trim, batch_format="pyarrow").materialize()
+    return top.sort(["total_cents", "user_id"], descending=[True, False]).limit(20)
 
 
 def q_events_sliding_3h(sf_dir: str):
@@ -735,8 +756,16 @@ def q_top_words(sf_dir: str):
     frequency (word tiebreak). The token explosion never leaves the
     batch: per-batch value_counts pre-aggregates to one (word, n) row
     per distinct word per block, so the shuffle moves vocabulary-sized
-    partials, not one row per token — the plan shape a 100 TB word
-    census needs."""
+    partials, not one row per token. The merge is a partition kernel
+    (vocab cardinality scales with the corpus — the native
+    per-distinct-key aggregate is the measured 58x cliff, commit
+    4fb6a54), and each partition keeps only its local top-50 under the
+    SAME total order before the final global sort, so the sort input is
+    <= 50 x partitions rows no matter the vocabulary size (a word's
+    census row lives in exactly one partition, so any global top-50
+    word survives its partition's top-50)."""
+    from consult_ray.util import partitioned_group_agg
+
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -747,12 +776,21 @@ def q_top_words(sf_dir: str):
             "n": counts.field("counts").cast(pa.int64()),
         })
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+    agg = partitioned_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "word", [("n", "sum", "n")], resolve_join_partitions(CFG),
     )
-    return agg.sort(["n", "word"], descending=[True, False]).limit(50)
+
+    def trim(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch, sort_keys=[("n", "descending"), ("word", "ascending")]
+        )
+        return batch.take(idx[:50])
+
+    # materialize the tiny trimmed set so the sort's sampling pass
+    # cannot re-execute the census (CLAUDE.md sort-reexecution quirk)
+    top = agg.map_batches(trim, batch_format="pyarrow").materialize()
+    return top.sort(["n", "word"], descending=[True, False]).limit(50)
 
 
 def q_embedding_clusters(sf_dir: str):
@@ -789,9 +827,11 @@ def q_pages_latest_crawl(sf_dir: str):
     Common-Crawl ingest runs before content dedup. url/warc_ts derived
     exactly as queries._pages_table; timestamps carried as epoch-us
     BIGINT for oracle hash safety. Plan: union of two narrow
-    map_batches -> per-batch partial (max, count) -> one groupby(url)
-    merging partials; nothing wider than the url key ever shuffles."""
-    from consult_ray.util import grouped
+    map_batches -> per-batch partial (max, count) -> one partition-
+    kernel merge keyed on url (url cardinality scales with the corpus,
+    so the native per-distinct-key aggregate is the measured 58x cliff,
+    commit 4fb6a54); nothing wider than the url key ever shuffles."""
+    from consult_ray.util import grouped, partitioned_group_agg
 
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
 
@@ -820,11 +860,11 @@ def q_pages_latest_crawl(sf_dir: str):
         return grouped(batch, ["url"], [("ts_us", "max"), ("ts_us", "count")],
                        ["mx", "cnt"])
 
-    return (
-        pages.map_batches(pre, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Max("mx", alias_name="latest_ts_us"),
-                   Sum("cnt", alias_name="n_crawls"))
+    return partitioned_group_agg(
+        pages.map_batches(pre, batch_format="pyarrow"),
+        "url",
+        [("mx", "max", "latest_ts_us"), ("cnt", "sum", "n_crawls")],
+        resolve_join_partitions(CFG),
     )
 
 
@@ -833,35 +873,41 @@ def q_line_dedup_stats(sf_dir: str):
     pass): derive per-doc lines (stages/lines.py — header/footer
     boilerplate repeats across every doc of a source), keep each
     distinct line's first instance by (doc_id, line_no), and report per
-    doc how many of its lines are keepers. Plan: two shuffles of
-    16-byte rows — groupby(line_hash) min(packed doc,line_no) for
-    winners, groupby(doc_id) counts — then one narrow left join;
-    line TEXT never shuffles (64-bit hash key; ~3e-5 collision odds at
-    2^40 lines, same contract as exact_dedup_groups)."""
+    doc how many of its lines are keepers. Plan: three partition-kernel
+    merges of 16-byte rows — line_hash min(packed doc,line_no) for
+    winners, doc_id count sums — then one narrow left join; line TEXT
+    never shuffles (64-bit hash key; ~3e-5 collision odds at 2^40
+    lines, same contract as exact_dedup_groups). line_hash cardinality
+    = corpus LINE count and doc_id cardinality = corpus doc count, so
+    every merge here is a partition kernel, never the native
+    per-distinct-key aggregate (the measured 58x cliff, commit
+    4fb6a54)."""
     from consult_ray.stages.lines import LINE_NO_BITS, lines_batch, pack_line_key
-    from consult_ray.util import grouped
+    from consult_ray.util import grouped, partitioned_group_agg
 
+    P = resolve_join_partitions(CFG)
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    # materialized: both the totals and winners branches consume it, and
+    # each partition shuffle's sampling pass would otherwise re-run the
+    # line derivation a third time (CLAUDE.md sort-reexecution quirk)
     keyed = docs.map_batches(
         lambda b: pack_line_key(lines_batch(b)), batch_format="pyarrow"
-    )
+    ).materialize()
 
     def pre_tot(batch: pa.Table) -> pa.Table:
         return grouped(batch, ["doc_id"], [("pack", "count")], ["cnt"])
 
-    totals = (
-        keyed.map_batches(pre_tot, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("cnt", alias_name="n_lines"))
+    totals = partitioned_group_agg(
+        keyed.map_batches(pre_tot, batch_format="pyarrow"),
+        "doc_id", [("cnt", "sum", "n_lines")], P,
     )
 
     def pre_win(batch: pa.Table) -> pa.Table:
         return grouped(batch, ["line_hash"], [("pack", "min")], ["pack"])
 
-    winners = (
-        keyed.map_batches(pre_win, batch_format="pyarrow")
-        .groupby("line_hash")
-        .aggregate(Min("pack", alias_name="pack"))
+    winners = partitioned_group_agg(
+        keyed.map_batches(pre_win, batch_format="pyarrow"),
+        "line_hash", [("pack", "min", "pack")], P,
     )
 
     def win_doc(batch: pa.Table) -> pa.Table:
@@ -869,10 +915,9 @@ def q_line_dedup_stats(sf_dir: str):
         return grouped(pa.table({"doc_id": d}), ["doc_id"],
                        [("doc_id", "count")], ["cnt"])
 
-    kept = (
-        winners.map_batches(win_doc, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("cnt", alias_name="n_kept"))
+    kept = partitioned_group_agg(
+        winners.map_batches(win_doc, batch_format="pyarrow"),
+        "doc_id", [("cnt", "sum", "n_kept")], P,
     )
 
     # both join inputs are hash-aggregate outputs: pin their schemas so
@@ -1179,9 +1224,11 @@ def q_crawl_changed(sf_dir: str):
     with whether its content changed. Ray compares 64-bit content
     hashes so text never shuffles (the exact_dedup collision contract);
     the oracle compares the text itself — equal results whenever the
-    hash is collision-free on the corpus."""
+    hash is collision-free on the corpus. The snapshot merge keys on
+    url (corpus cardinality), so it is a partition kernel, not a native
+    per-distinct-key aggregate (the measured 58x cliff, 4fb6a54)."""
     from consult_ray.stages.text import doc_fingerprint_batch
-    from consult_ray.util import grouped
+    from consult_ray.util import grouped, partitioned_group_agg
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
@@ -1207,12 +1254,12 @@ def q_crawl_changed(sf_dir: str):
         return grouped(t, ["url"], [("h", "min"), ("h", "max"), ("h", "count")],
                        ["hmin", "hmax", "cnt"])
 
-    agg = (
-        docs.map_batches(snapshots, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Min("hmin", alias_name="hmin"),
-                   Max("hmax", alias_name="hmax"),
-                   Sum("cnt", alias_name="cnt"))
+    agg = partitioned_group_agg(
+        docs.map_batches(snapshots, batch_format="pyarrow"),
+        "url",
+        [("hmin", "min", "hmin"), ("hmax", "max", "hmax"),
+         ("cnt", "sum", "cnt")],
+        resolve_join_partitions(CFG),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -1326,12 +1373,15 @@ def q_heavy_hitter_words(sf_dir: str):
             "w": pa.array(np.concatenate([c2, [counts.sum()]]).astype(np.int64)),
         })
 
-    summary = (
-        docs.map_batches(summarize, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("w", alias_name="w"))
-        .materialize()  # small: bounded by the block summaries' union
-    )
+    # the summary key space is the UNION of block summaries (k words per
+    # block — grows with the corpus), so the merge is a partition
+    # kernel, not a native per-distinct-key aggregate (58x, 4fb6a54)
+    from consult_ray.util import partitioned_group_agg
+
+    summary = partitioned_group_agg(
+        docs.map_batches(summarize, batch_format="pyarrow"),
+        "word", [("w", "sum", "w")], resolve_join_partitions(CFG),
+    ).materialize()  # small: bounded by the block summaries' union
     sent = summary.filter(expr=f"word == '{_MG_SENTINEL}'").take_all()
     if not sent:  # empty corpus: no blocks ever emitted the sentinel
         return rd.from_arrow(pa.table({
@@ -1367,12 +1417,10 @@ def q_heavy_hitter_words(sf_dir: str):
             "n": vc.field("counts").cast(pa.int64()),
         })
 
-    return (
-        docs.map_batches(count_cands, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
-        .filter(expr=f"n >= {thresh}")
-    )
+    return partitioned_group_agg(
+        docs.map_batches(count_cands, batch_format="pyarrow"),
+        "word", [("n", "sum", "n")], resolve_join_partitions(CFG),
+    ).filter(expr=f"n >= {thresh}")
 
 
 def q_doc_top_terms(sf_dir: str):
@@ -1384,10 +1432,12 @@ def q_doc_top_terms(sf_dir: str):
     Plan shape at 100 TB: tf is computed ENTIRELY inside map_batches (a
     doc never spans rows, so the (doc_id, token) count is row-local —
     zero shuffle); df pre-aggregates one row per distinct token per
-    block, then ONE groupby(token) over ~vocab-size rows; one hash join
-    tf x df on token; grouped_top_k's combiner then bounds the final
-    doc_id shuffle to <=3 rows per doc per block. The text column never
-    leaves the tokenize stage."""
+    block, then one partition-kernel merge over ~vocab-size rows (vocab
+    cardinality scales with the corpus, so the native per-distinct-key
+    aggregate is the measured 58x cliff — commit 4fb6a54); one hash
+    join tf x df on token; grouped_top_k's combiner then bounds the
+    final doc_id shuffle to <=3 rows per doc per block. The text column
+    never leaves the tokenize stage."""
     from consult_ray.pipelines.operators import grouped_top_k
     from consult_ray.util import grouped
 
@@ -1416,12 +1466,13 @@ def q_doc_top_terms(sf_dir: str):
         return grouped(t.select(["token", "one"]), ["token"],
                        [("one", "sum")], ["df"])
 
-    df_ds = (
-        tf_ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+    from consult_ray.util import partitioned_group_agg
+
+    df_ds = partitioned_group_agg(
+        tf_ds.map_batches(df_partial, batch_format="pyarrow"),
+        "token", [("df", "sum", "df")], resolve_join_partitions(CFG),
     )
-    # hash aggregates emit schema-less blocks for empty partitions,
+    # aggregate outputs can carry empty blocks for key-less partitions,
     # which crash Acero inside Dataset.join at high partition counts
     # (CORRECTNESS_r03's one red row) — pin the schema before the join
     from consult_ray.util import pin_schema

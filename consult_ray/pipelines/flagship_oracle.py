@@ -455,9 +455,16 @@ FROM memb m LEFT JOIN drops dr USING (doc_id)""",
         # drop; near = survives both but is not the cluster's survivor
         # (min non-dropped member, checkpointed build_survivors rule).
         # Precedence exact > substring > near mirrors np.select order.
+        # The engine keys the exact tier on the 64-bit content_hash
+        # with null text hashed as '' (dedup.py dedup_tiers), so the
+        # reps partition mirrors it with COALESCE(text, '') — a corpus
+        # holding BOTH null and empty texts groups them together on
+        # either side; a 64-bit hash collision is the one residual
+        # divergence (same ~3e-5-at-2^40-docs contract as
+        # exact_dedup_groups).
         "dedup_tiers": all_chain + _edges_tail(cfg, "allb") + closure
         + _MEMB_DROPS + """,
-reps AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep FROM documents),
+reps AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY COALESCE(text, '')) AS rep FROM documents),
 surv AS (
   SELECT m.cluster_id, MIN(m.doc_id) AS survivor
   FROM memb m LEFT JOIN drops dr USING (doc_id)

@@ -28,7 +28,10 @@ from consult_ray.util import resolve_join_partitions
 # /root/reference/README.md:172; here it is a first-class operator)
 # ---------------------------------------------------------------------
 
-def exact_dedup_groups(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+def exact_dedup_groups(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+    cfg: PipelineConfig | None = None,
+) -> Dataset:
     """One row per distinct text: representative id (min) + group size.
 
     Plan: vectorized content-hash map_batches -> groupby(content_hash)
@@ -53,13 +56,21 @@ def exact_dedup_groups(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
 
     out = partitioned_group_min(
         hashed, "content_hash", id_col,
-        resolve_join_partitions(PipelineConfig()),
+        resolve_join_partitions(cfg or PipelineConfig()),
         count_col="n_dups",
     )
-    return out.map_batches(
-        lambda b: b.rename_columns(["content_hash", "rep_id", "n_dups"]),
-        batch_format="pyarrow",
-    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # rename BY NAME (partitioned_group_min emits exactly
+        # (content_hash, <id_col>, n_dups); positional renames would
+        # silently transpose if its column order ever changed)
+        return pa.table({
+            "content_hash": b["content_hash"],
+            "rep_id": b[id_col],
+            "n_dups": b["n_dups"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def exact_dedup_survivors(ds: Dataset, cfg: PipelineConfig,
@@ -69,7 +80,7 @@ def exact_dedup_survivors(ds: Dataset, cfg: PipelineConfig,
     hashed = ds.map_batches(
         lambda b: doc_fingerprint_batch(b, text_col=text_col), batch_format="pyarrow"
     )
-    reps = exact_dedup_groups(ds, text_col=text_col, id_col=id_col)
+    reps = exact_dedup_groups(ds, text_col=text_col, id_col=id_col, cfg=cfg)
     # reps is a hash-aggregate output: pin the schema (engine ids are
     # int64 end-to-end, stages/ids.py) so empty partitions can't feed
     # the semi-join schema-less blocks (the doc_top_terms failure class)

@@ -12,11 +12,12 @@ what makes the regex-for-regex mirroring sound.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from consult_ray.config import PipelineConfig
-from consult_ray.util import read_parquet_clean
+from consult_ray.util import read_parquet_clean, resolve_join_partitions
 
 CFG = PipelineConfig()
 
@@ -216,39 +217,55 @@ _BOILER_T = 5  # a line present in >= T distinct docs is boilerplate
 def q_boilerplate_scrub(sf_dir: str):
     """C4/CCNet-style boilerplate removal: census lines across the
     corpus (distinct-doc counts, pre-aggregated per batch before the
-    one groupby), drop every line that appears in >= T distinct docs,
-    and reassemble each doc from its surviving lines in order.
+    merge), drop every line that appears in >= T distinct docs, and
+    reassemble each doc from its surviving lines in order.
 
-    Scale shape: the line census shuffles only (line, partial-count)
-    rows; the frequent set is bounded above by total_lines/T and rides
-    one ray.put broadcast; pass 2 is embarrassingly parallel. Membership
-    is EXACT string is_in (no hash-collision caveat). SQL-checked."""
+    Scale shape: the census keys on the 64-bit line-content HASH, so
+    only (line_hash, partial-count) 16 B rows shuffle and the merge is
+    a partition kernel (line cardinality = corpus line count — the
+    native per-distinct-key aggregate's measured 58x cliff, 4fb6a54,
+    AND line strings would otherwise ride the shuffle). Driver intake
+    and the ray.put broadcast are bounded at 8 B per frequent line
+    (<= total_lines/T entries) regardless of line length — the
+    q_decontaminate hash-set pattern — where broadcasting the strings
+    themselves would be GBs at 100 TB. Pass 2 is embarrassingly
+    parallel; membership is hash equality at the repo-standard 64-bit
+    collision contract (~3e-5 odds at 2^40 lines, same as
+    exact_dedup_groups), so it matches the string-exact SQL oracle
+    whenever the corpus is collision-free."""
     import ray
-    from ray.data.aggregate import Sum
 
     from consult_ray.stages.lines import lines_batch
-    from consult_ray.util import grouped
+    from consult_ray.stages.text import doc_fingerprint_batch
+    from consult_ray.util import grouped, partitioned_group_agg
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def pre(batch: pa.Table) -> pa.Table:
+        lt = lines_batch(batch)
+        lt = lt.append_column(
+            "line_hash", doc_fingerprint_batch(lt, text_col="line")["content_hash"]
+        )
         return grouped(
-            lines_batch(batch), ["line"], [("doc_id", "count_distinct")], ["nd"]
+            lt, ["line_hash"], [("doc_id", "count_distinct")], ["nd"]
         )
 
-    freq = (
-        docs.map_batches(pre, batch_format="pyarrow")
-        .groupby("line")
-        .aggregate(Sum("nd", alias_name="nd"))
-        .filter(expr=f"nd >= {_BOILER_T}")
+    freq = partitioned_group_agg(
+        docs.map_batches(pre, batch_format="pyarrow"),
+        "line_hash", [("nd", "sum", "nd")], resolve_join_partitions(CFG),
+    ).filter(expr=f"nd >= {_BOILER_T}")
+    frequent = np.sort(
+        np.array(
+            [r["line_hash"] for r in freq.select_columns(["line_hash"]).take_all()],
+            dtype=np.int64,
+        ).view(np.uint64)
     )
-    frequent = sorted(r["line"] for r in freq.select_columns(["line"]).take_all())
-    ref = ray.put(pa.array(frequent, pa.string()))
+    ref = ray.put(frequent)
 
     def scrub(batch: pa.Table) -> pa.Table:
         from consult_ray.stages.scrub import remove_frequent_lines_batch
 
-        return remove_frequent_lines_batch(batch, ray.get(ref))
+        return remove_frequent_lines_batch(batch, frequent_hashes=ray.get(ref))
 
     return docs.map_batches(scrub, batch_format="pyarrow")
 

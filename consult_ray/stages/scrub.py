@@ -122,17 +122,43 @@ def snippet_window_hashes(snippets: list[bytes], k: int) -> np.ndarray:
 
 
 def remove_frequent_lines_batch(
-    batch: pa.Table, frequent: pa.Array | pa.ChunkedArray,
+    batch: pa.Table, frequent: pa.Array | pa.ChunkedArray | None = None,
     text_col: str = "text", id_col: str = "doc_id",
+    frequent_hashes: np.ndarray | None = None,
 ) -> pa.Table:
-    """Drop every derived line present in `frequent` (exact string
-    membership) and reassemble each doc from its surviving lines in
-    line_no order. Fully vectorized: one is_in, one lexsort gather, one
-    list binary_join. Returns (doc_id, n_kept, text_clean)."""
+    """Drop every derived line present in the frequent set and
+    reassemble each doc from its surviving lines in line_no order.
+    Fully vectorized: one membership test, one lexsort gather, one list
+    binary_join. Returns (doc_id, n_kept, text_clean).
+
+    Membership side (exactly one of the two):
+    - `frequent`: exact string is_in — unbounded broadcast (the set's
+      STRINGS ship to every task); small-corpus / verification use.
+    - `frequent_hashes`: SORTED uint64 line-content hashes
+      (doc_fingerprint_batch's kernel on the line column) — the scale
+      path: driver intake and broadcast are 8 B per frequent line
+      regardless of line length, at the repo-standard 64-bit collision
+      contract (~3e-5 odds at 2^40 lines, same as exact_dedup_groups).
+    """
     from consult_ray.stages.lines import lines_batch
 
     lt = lines_batch(batch, text_col=text_col, id_col=id_col)
-    kept = lt.filter(pc.invert(pc.is_in(lt["line"], value_set=frequent)))
+    if frequent_hashes is not None:
+        from consult_ray.stages.text import doc_fingerprint_batch
+
+        h = doc_fingerprint_batch(lt, text_col="line")[
+            "content_hash"
+        ].to_numpy(zero_copy_only=False).view(np.uint64)
+        fh = np.asarray(frequent_hashes).view(np.uint64)
+        if fh.size:
+            pos = np.searchsorted(fh, h)
+            pos[pos == fh.size] = 0
+            hit = fh[pos] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        kept = lt.filter(pa.array(~hit))
+    else:
+        kept = lt.filter(pc.invert(pc.is_in(lt["line"], value_set=frequent)))
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")
     kd = kept["doc_id"].to_numpy(zero_copy_only=False)

@@ -45,8 +45,12 @@ def brute_force_topk(
     """Exact cosine top-k of one query vector against a Dataset.
 
     Per-batch: normalized dot product (numpy, float64) -> per-batch local
-    top-k -> tiny global heap merge on the driver. The full dataset
-    streams; only k rows per batch reach the driver.
+    top-k -> a worker-side fan-in combine (one vectorized top-k per
+    ~16 block partials, the _CMS_COMBINE_FANIN shape) -> tiny driver
+    heap merge. The full dataset streams; driver intake is k rows per
+    COMBINE output (~n_blocks/16), constant in block count rather than
+    linear. The combine uses the exact (-cos_sim, id) total order of
+    the final merge, so it is a lossless superset reduction.
     """
     q = np.asarray(query, dtype=np.float64)
     q = q / np.linalg.norm(q)
@@ -65,7 +69,15 @@ def brute_force_topk(
         top = np.argsort(-sims, kind="stable")[:k]
         return pa.table({id_col: pa.array(ids[top]), "cos_sim": pa.array(sims[top])})
 
-    partials = embeddings.map_batches(score, batch_format="pyarrow")
+    def combine(batch: pa.Table) -> pa.Table:
+        sims = batch["cos_sim"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, -sims))[:k]
+        return pa.table({id_col: pa.array(ids[top]), "cos_sim": pa.array(sims[top])})
+
+    partials = embeddings.map_batches(score, batch_format="pyarrow").map_batches(
+        combine, batch_format="pyarrow", batch_size=16 * k
+    )
     rows = partials.take_all()
     best = heapq.nsmallest(k, rows, key=lambda r: (-r["cos_sim"], r[id_col]))
     return pa.table(
@@ -231,10 +243,16 @@ def embedding_dup_pairs_lsh(
             ["a", "b"], [("cos_e4", "min")], ["cos_e4"],
         )
 
-    from ray.data.aggregate import Min
+    from consult_ray.util import partitioned_group_agg
 
+    # pair cardinality scales with the corpus — dedupe cross-band pair
+    # duplicates with a partition kernel, not the native
+    # per-distinct-key aggregate (the measured 58x cliff, 4fb6a54)
     pairs = joined.map_batches(verify, batch_format="pyarrow")
-    return pairs.groupby(["a", "b"]).aggregate(Min("cos_e4", alias_name="cos_e4"))
+    return partitioned_group_agg(
+        pairs, ["a", "b"], [("cos_e4", "min", "cos_e4")],
+        resolve_join_partitions(cfg),
+    )
 
 
 def ivf_build_centroids(

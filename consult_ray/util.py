@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from consult_ray.config import PipelineConfig
@@ -187,10 +188,10 @@ def resolve_join_partitions(cfg: PipelineConfig) -> int:
     return max(2, min(cfg.join_partitions, cluster_cpus()))
 
 
-def hash_partition_col(col, num_partitions: int) -> pa.Array:
-    """Deterministic partition id for ANY key column: integers go
-    through SplitMix64 (sequential ids would otherwise stripe), strings
-    and binaries through the content hash the id stage uses. Vectorized
+def _col_hash_u64(col):
+    """uint64 content hash of ANY key column: integers go through
+    SplitMix64 (sequential ids would otherwise stripe), strings and
+    binaries through the content hash the id stage uses. Vectorized
     end-to-end."""
     import numpy as np
 
@@ -204,11 +205,33 @@ def hash_partition_col(col, num_partitions: int) -> pa.Array:
     ):
         from consult_ray.stages.ids import hash_keys
 
-        h = hash_keys(col).view(np.uint64)
-    else:
-        h = splitmix64(
-            col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-        )
+        return hash_keys(col).view(np.uint64)
+    return splitmix64(
+        col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    )
+
+
+def hash_partition_col(col, num_partitions: int) -> pa.Array:
+    """Deterministic partition id for ANY key column (see _col_hash_u64)."""
+    import numpy as np
+
+    h = _col_hash_u64(col)
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+
+def hash_partition_cols(tbl: pa.Table, cols: list[str], num_partitions: int) -> pa.Array:
+    """Deterministic partition id over a COMPOSITE key: per-column
+    uint64 hashes folded through SplitMix64 so co-partitioning holds for
+    the full tuple (and for any prefix-keyed second pass that re-derives
+    the same fold)."""
+    import numpy as np
+
+    from consult_ray.functions.hashing import splitmix64
+
+    h = None
+    for c in cols:
+        hc = _col_hash_u64(tbl[c])
+        h = hc if h is None else splitmix64(h ^ hc)
     return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
 
 
@@ -266,4 +289,94 @@ def partitioned_group_min(
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(min_kernel, batch_format="pyarrow")
+    )
+
+
+def partitioned_group_agg(
+    ds,
+    key_cols: list[str] | str,
+    aggs: list[tuple[str | None, str, str]],
+    num_partitions: int,
+):
+    """Distributed multi-aggregate GROUP BY for LARGE key cardinalities
+    (the general sibling of `partitioned_group_min`; same rationale —
+    Ray 2.49's native hash aggregate pays a per-DISTINCT-KEY cost,
+    measured 58x slower than this shape at 2.6M keys, commit 4fb6a54).
+
+    One hash shuffle over `num_partitions` buckets of the composite key,
+    then ONE vectorized Arrow-sort + reduceat kernel per PARTITION —
+    Python call count bounded by the partition count, never the key
+    count. Works for any key type (strings sort through Arrow's C++
+    sort, not numpy object arrays) and any mix of aggregates.
+
+    `aggs`: list of (val_col, op, out_name) with op in
+    {"min", "max", "sum", "count"}; for "count" val_col may be None
+    (row count per key). Keys must be NON-NULL (asserted) — null-key
+    semantics belong to the caller's predicate, not this kernel.
+    Output: key_cols (original types) + one column per agg, one row per
+    distinct key. Sum keeps the value dtype (int64 partials stay int64);
+    count is int64. Callers that pre-combine per batch feed partial
+    rows through a "sum" here, exactly like the native-aggregate shape
+    this replaces."""
+    import numpy as np
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    val_cols = []
+    for v, _op, _out in aggs:
+        if v is not None and v not in val_cols and v not in key_cols:
+            val_cols.append(v)
+    in_cols = list(key_cols) + val_cols
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.select(in_cols).append_column(
+            "__part", hash_partition_cols(batch, key_cols, num_partitions)
+        )
+
+    ufunc = {"min": np.minimum, "max": np.maximum, "sum": np.add}
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.select(in_cols)
+        n = g.num_rows
+        if n == 0:
+            cols = {k: pa.array([], g.schema.field(k).type) for k in key_cols}
+            for v, op, out in aggs:
+                t = pa.int64() if op == "count" else g.schema.field(v).type
+                cols[out] = pa.array([], t)
+            return pa.table(cols)
+        order = pc.sort_indices(
+            g, sort_keys=[(k, "ascending") for k in key_cols]
+        )
+        s = g.take(order)
+        neq = None
+        for k in key_cols:
+            ks = s.column(k).combine_chunks()
+            assert ks.null_count == 0, f"null group key in {k!r}"
+            if n > 1:
+                d = pc.not_equal(ks.slice(1), ks.slice(0, n - 1))
+                neq = d if neq is None else pc.or_(neq, d)
+        if n > 1:
+            starts = np.concatenate(
+                ([0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1)
+            )
+        else:
+            starts = np.zeros(1, dtype=np.int64)
+        take_idx = pa.array(starts)
+        out_cols = {k: s.column(k).take(take_idx) for k in key_cols}
+        vals = {
+            v: s.column(v).to_numpy(zero_copy_only=False) for v in val_cols
+        }
+        for v, op, out in aggs:
+            if op == "count":
+                out_cols[out] = pa.array(
+                    np.diff(np.append(starts, n)).astype(np.int64)
+                )
+            else:
+                out_cols[out] = pa.array(ufunc[op].reduceat(vals[v], starts))
+        return pa.table(out_cols)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(kernel, batch_format="pyarrow")
     )
