@@ -617,12 +617,15 @@ def pagerank(
         })
         return pa.concat_tables([s, z]).combine_chunks()
 
-    census = (
-        e.map_batches(census_partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("outdeg", alias_name="outdeg"))
-        .to_pandas()
-    )
+    # host cardinality scales with the corpus — partition-kernel merge,
+    # not the native per-distinct-key aggregate (58x, commit 4fb6a54)
+    from consult_ray.util import partitioned_group_agg
+
+    P = resolve_join_partitions(cfg)
+    census = partitioned_group_agg(
+        e.map_batches(census_partial, batch_format="pyarrow"),
+        "h", [("outdeg", "sum", "outdeg")], P,
+    ).to_pandas()
     n = len(census)
     if n == 0 or "h" not in census.columns:  # empty edge table
         return rd.from_arrow(pa.table({
@@ -660,12 +663,10 @@ def pagerank(
             })
             return grouped(t, ["dst"], [("c", "sum")], ["c"])
 
-        agg = (
-            e.map_batches(round_partial, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="c"))
-            .to_pandas()
-        )
+        agg = partitioned_group_agg(
+            e.map_batches(round_partial, batch_format="pyarrow"),
+            "dst", [("c", "sum", "c")], P,
+        ).to_pandas()
         s = np.zeros(n, dtype=np.int64)
         if len(agg):
             didx = np.searchsorted(

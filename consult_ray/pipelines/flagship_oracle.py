@@ -435,6 +435,25 @@ JOIN {usrc.replace(' u1', ' r')} ON r.doc_id = c.cluster_id"""
         "fingerprints": sh + fp + f"""
 SELECT doc_id, {_signed64('sim')} AS simhash, CAST(n_shingles AS BIGINT) AS n_shingles
 FROM fp""",
+        # hot_policy="salt" + collision_threshold=2 (q_dedup_edges_salted):
+        # salting is LOSSLESS — every band collision of a pair lands in
+        # >= 1 triangle bucket of the same (band_kind, band), and
+        # pair_count_threshold collapses replicas on that tuple before
+        # counting — so the salted c=2 edge set equals the UNCAPPED
+        # distinct-band-collision count with no salt replay needed: pairs
+        # sharing >= 2 distinct band keys with hd <= p. (hamming is a
+        # pair property — popcount(sim_a ^ sim_b) — hence MIN = the
+        # value; distinct band_key == distinct (band_kind, band) for a
+        # pair up to the usual 2^-64 band-key collision contract.)
+        "dedup_edges_salted": all_chain + f""",
+sedges AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.band_key,
+         bit_count(xor({_signed64('x.sim')}, {_signed64('y.sim')})) AS hamming
+  FROM allb x JOIN allb y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(MIN(hamming) AS BIGINT) AS hamming
+FROM sedges WHERE hamming <= {p}
+GROUP BY a, b HAVING COUNT(DISTINCT band_key) >= 2""",
         "simhash_edges": sim_chain + _edges_tail(cfg, sb_src) + "\n" + edge_sel,
         "minhash_edges": mh_chain + _edges_tail(cfg, mb_src) + "\n" + edge_sel,
         "dedup_edges": all_chain + _edges_tail(cfg, "allb") + "\n" + edge_sel,

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max
 
 from consult_ray.config import PipelineConfig
 from consult_ray.stages.text import doc_fingerprint_batch
@@ -180,7 +180,13 @@ def broadcast_anti_join(left: Dataset, keys: np.ndarray, on: str) -> Dataset:
 
 def preagg_group_count(ds: Dataset, key: str, out_name: str = "n") -> Dataset:
     """groupby(key).count() with per-batch combining: the shuffle carries
-    one row per key per block instead of one per input row."""
+    one row per key per block instead of one per input row, and the
+    merge is a partition kernel (util.partitioned_group_agg) so callers
+    with corpus-scaling keys (user ids, hosts) never hit the native
+    aggregate's per-distinct-key cliff (58x, commit 4fb6a54); bounded
+    keys pay only a no-op partitioning."""
+    from consult_ray.config import PipelineConfig
+    from consult_ray.util import partitioned_group_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         counts = pc.value_counts(batch[key])
@@ -188,10 +194,10 @@ def preagg_group_count(ds: Dataset, key: str, out_name: str = "n") -> Dataset:
             {key: counts.field("values"), out_name: counts.field("counts").cast(pa.int64())}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Sum(out_name, alias_name=out_name))
+    return partitioned_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key, [(out_name, "sum", out_name)],
+        resolve_join_partitions(PipelineConfig()),
     )
 
 
@@ -589,19 +595,72 @@ def distinct_count_by(
     ds: Dataset, group_key: str, distinct_key: str, out_name: str = "n_distinct"
 ) -> Dataset:
     """Exact COUNT(DISTINCT distinct_key) GROUP BY group_key: per-batch
-    pair dedup -> pair groupby (the only full shuffle) -> tiny per-group
-    count. No driver materialization; both groupbys stream."""
+    pair dedup -> ONE (group, distinct)-keyed partition-kernel pass that
+    dedupes pairs AND emits per-group partial counts (a pair's
+    duplicates co-locate under the composite hash, so partition-level
+    dedup is global; a group's pairs span partitions, so counts merge in
+    a second tiny kernel). Pair cardinality scales with the corpus —
+    never the native per-distinct-key aggregate (58x, 4fb6a54)."""
+    from consult_ray.config import PipelineConfig
+    from consult_ray.util import (
+        hash_partition_cols,
+        partitioned_group_agg,
+    )
+
+    P = resolve_join_partitions(PipelineConfig())
 
     def pairs(batch: pa.Table) -> pa.Table:
         tb = batch.select([group_key, distinct_key])
-        return tb.group_by([group_key, distinct_key]).aggregate([])
+        tb = tb.group_by([group_key, distinct_key]).aggregate([])
+        return tb.append_column(
+            "__part",
+            hash_partition_cols(tb, [group_key, distinct_key], P),
+        )
 
-    deduped = (
+    def dedupe_count(g: pa.Table) -> pa.Table:
+        g = g.select([group_key, distinct_key])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                group_key: pa.array([], g.schema.field(group_key).type),
+                "_pc": pa.array([], pa.int64()),
+            })
+        idx = pc.sort_indices(
+            g, sort_keys=[(group_key, "ascending"), (distinct_key, "ascending")]
+        )
+        s = g.take(idx)
+        gk = s.column(group_key).combine_chunks()
+        dk = s.column(distinct_key).combine_chunks()
+        if n > 1:
+            neq = pc.or_(
+                pc.not_equal(gk.slice(1), gk.slice(0, n - 1)),
+                pc.not_equal(dk.slice(1), dk.slice(0, n - 1)),
+            ).to_numpy(zero_copy_only=False)
+            first = np.r_[True, neq]
+        else:
+            first = np.ones(1, dtype=bool)
+        gk_f = gk.filter(pa.array(first))
+        m = len(gk_f)
+        if m > 1:
+            gneq = pc.not_equal(
+                gk_f.slice(1), gk_f.slice(0, m - 1)
+            ).to_numpy(zero_copy_only=False)
+            starts = np.concatenate(([0], np.flatnonzero(gneq) + 1))
+        else:
+            starts = np.zeros(min(m, 1), dtype=np.int64)
+        return pa.table({
+            group_key: gk_f.take(pa.array(starts)),
+            "_pc": pa.array(np.diff(np.append(starts, m)).astype(np.int64)),
+        })
+
+    partials = (
         ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby([group_key, distinct_key])
-        .aggregate(Count(alias_name="_c"))
+        .groupby("__part")
+        .map_groups(dedupe_count, batch_format="pyarrow")
     )
-    return preagg_group_count(deduped, group_key, out_name)
+    return partitioned_group_agg(
+        partials, group_key, [("_pc", "sum", out_name)], P
+    )
 
 
 def hll_register_maxima(
@@ -728,10 +787,13 @@ def preagg_group_sum(ds: Dataset, key: str, value: str, out_name: str) -> Datase
 
         return grouped(batch.select([key, value]), [key], [(value, "sum")], [out_name])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Sum(out_name, alias_name=out_name))
+    from consult_ray.config import PipelineConfig
+    from consult_ray.util import partitioned_group_agg
+
+    return partitioned_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key, [(out_name, "sum", out_name)],
+        resolve_join_partitions(PipelineConfig()),
     )
 
 

@@ -545,6 +545,33 @@ def q_substring_dedup(sf_dir: str):
     return substring_stage(docs, labels, CFG)
 
 
+def q_dedup_edges_salted(sf_dir: str):
+    """The flagship edge stage under the LOSSLESS skew policy:
+    hot_policy="salt" (triangle-bucket replication instead of the O4
+    cap) with collision_threshold c=2 (the A4 distinct-collision
+    contract, /root/reference/main_search.cpp:883-894). Exercises
+    salt_hot_buckets + the fused pair_count_threshold partition kernel
+    end-to-end in the driver window. SQL-checked: salting is lossless
+    and replicas collapse on (a, b, band_kind, band) before counting,
+    so the oracle is the UNCAPPED distinct-band-collision count
+    (flagship_oracle.py "dedup_edges_salted") — no salt replay needed."""
+    import dataclasses
+
+    from consult_ray.pipelines.dedup import dup_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cfg = dataclasses.replace(CFG, hot_policy="salt", collision_threshold=2)
+    edges, _stats = dup_edges(docs, cfg)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": b["a"], "b": b["b"],
+            "hamming": b["hamming"].cast(pa.int64()),
+        })
+
+    return edges.map_batches(fin, batch_format="pyarrow")
+
+
 def q_dedup_tiers(sf_dir: str):
     """The tier-dedup capstone: every document attributed to the stage
     that claimed it — 'exact' (identical-text non-representative),
@@ -562,6 +589,12 @@ def q_dedup_tiers(sf_dir: str):
 
 
 def q_knn_lsh(sf_dir: str):
+    """Hyperplane-LSH approximate top-10 for vec_id 0 (multi-probe
+    within 1 sign flip). SQL-checked since round 5: the signature is
+    stages.similarity.rademacher_signature's INTEGER kernel
+    (SplitMix64-derived +-1 planes over e4-quantized coordinates), so
+    the oracle replays bucket assignment bit-exactly in HUGEINT and
+    re-derives the same candidate set + cosine top-10."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = add_hyperplane_buckets(ds, CFG, n_planes=8)
     q = None
@@ -572,7 +605,12 @@ def q_knn_lsh(sf_dir: str):
             q = np.asarray(batch["embedding"].combine_chunks()[int(hit[0])].values, dtype=np.float64)
             break
     out = lsh_topk(bucketed, q, CFG, k=10, n_planes=8)
-    return _round_col(out, "cos_sim", 4)
+    e4 = pc.cast(
+        pc.round(pc.multiply(out["cos_sim"], pa.scalar(10000.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+    return pa.table({"vec_id": out["vec_id"], "cos_sim_e4": e4})
 
 
 def q_knn_pq(sf_dir: str):
@@ -962,6 +1000,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "semantic_sample": q_semantic_sample,
     "dedup_edges": q_dedup_edges,
+    "dedup_edges_salted": q_dedup_edges_salted,
     "dedup_clusters": q_dedup_clusters,
     "cluster_best_docs": q_cluster_best_docs,
     "fingerprints": q_fingerprints,
@@ -991,7 +1030,45 @@ QUERIES = {
     **TRAIN_QUERIES,
 }
 
+def _knn_lsh_sql(n_planes: int = 8) -> str:
+    """DuckDB replay of q_knn_lsh: rademacher_signature's integer
+    bucket (SplitMix64 low-bit +-1 planes x floor(x*1e4+0.5)
+    coordinates — all exact int arithmetic, so the HUGEINT replay is
+    bit-identical), candidates = buckets within 1 sign flip of vec 0's
+    (lsh_topk's default multi-probe), then cosine top-10 with the
+    engine's (-cos, vec_id) tie-break. Validated bucket-for-bucket vs
+    the numpy kernel on random matrices before adoption."""
+    from consult_ray.pipelines.flagship_oracle import _sm64
+
+    seed = CFG.seed + 77
+    sm = _sm64(f"(CAST({seed} AS HUGEINT) + p.p * x.dim + x.j)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  CAST(len(embedding) AS BIGINT) AS dim FROM embeddings),
+x AS (SELECT vec_id, dim, unnest(v) AS val,
+             generate_subscripts(v, 1) - 1 AS j FROM e),
+p AS (SELECT CAST(range AS BIGINT) AS p FROM range(0, {n_planes})),
+s AS (
+  SELECT x.vec_id, p.p,
+    (CASE WHEN ({sm}) % 2 = 1 THEN 1 ELSE -1 END)
+    * CAST(floor(x.val * 10000 + 0.5) AS BIGINT) AS term
+  FROM x, p
+),
+d AS (SELECT vec_id, p, CAST(sum(term) AS BIGINT) AS dot FROM s GROUP BY 1, 2),
+b AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)
+                          AS BIGINT) AS bucket FROM d GROUP BY 1),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM b, qb
+         WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1),
+qv AS (SELECT v FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+  CAST(round(list_cosine_similarity(e.v, qv.v) * 10000) AS BIGINT) AS cos_sim_e4
+FROM e JOIN cand USING (vec_id), qv
+ORDER BY list_cosine_similarity(e.v, qv.v) DESC, e.vec_id LIMIT 10"""
+
+
 ORACLE_SQL = {
+    "knn_lsh": _knn_lsh_sql(),
     "exact_dedup_reps": (
         "SELECT min(doc_id) AS rep_id, count(*) AS n_dups "
         "FROM documents GROUP BY text"
@@ -1088,46 +1165,46 @@ ORACLE_SQL.update(flagship_oracle_sql(CFG))
 # tests/test_registry_order.py.
 _DRIVER_WINDOW = 50
 _FRONT = [
-    # SQL-oracled, never driver-witnessed before round 4
-    "distinct_users_daily", "top_users_by_value", "events_asof_order",
-    "events_range_1h", "events_sliding_3h", "ngram_jaccard_doc0",
-    "embedding_dup_pairs", "embedding_clusters", "token_stats_bpe",
-    "top_words", "pages_latest_crawl", "line_dedup_stats",
-    "doc_repetition_stats", "domain_stats", "gopher_filter",
-    "stratified_sample", "length_quantiles", "crawl_changed",
-    "boilerplate_scrub", "docs_from_csv",
-    "pii_redact", "url_canonical", "decontaminate", "docs_from_fasta",
-    "docs_from_fastq", "quality_features", "doc_chunks",
-    "pack_sequences", "pages_links", "host_pagerank",
-    "authority_top_docs", "shuffle_shards", "curriculum_rank",
-    "token_budget_head", "bpe_pair_counts", "ttr_stats",
-    "docs_from_warc",
-    # the flagship near-dup family, SQL-oracled for the first time in
-    # round 4 (pipelines/flagship_oracle.py) — the north-rule queries
-    # themselves, never hash-witnessed before
-    "fingerprints", "simhash_edges", "minhash_edges", "dedup_edges",
-    "band_occupancy_hist", "dedup_clusters", "cluster_best_docs",
-    # SQL-oracled later in round 4, never driver-witnessed: the CONSULT
-    # search workload (capped-bucket probe counters), the input_hint
-    # url-keyed flagship, the suffix-array containment stage, and the
-    # trigram language classifier
-    "lookup_classify", "dedup_clusters_url", "substring_dedup",
-    "dedup_tiers", "lang_id",
-    # SQL-oracled, red in r03 (the aggregate→join empty-block crash),
-    # fixed this round — its green row must be witnessed
-    "doc_top_terms",
-    # displaced to make room: exact_dedup_reps, dedup_survivors,
-    # source_top_docs, events_hourly, substring_pairs, minimizers,
-    # export_survivors, sessionized_events, region_revenue,
-    # nation_order_value, heavy_hitter_words — all green in r02/r03 —
-    # and docs_from_jsonl (the vanilla twin of the in-window
-    # docs_from_csv source round-trip, which carries the type-stability
-    # fix worth witnessing; jsonl yielded its slot to dedup_tiers).
-    # All remain SQL-checked by pytest + tools/driver_sim.py just past the
-    # window, as are quality_scores / doc_content_hashes /
-    # lookup_classify_lib / lookup_classify_bloom / dedup_clusters_pages
-    # (pytest-asserted output-equal to their in-window twins or
-    # elementwise-only kernels)
+    # --- SQL-oracled with ZERO lifetime driver rows (rounds 1-4): the
+    # round-4 verdict's top rotation ask — every one must be witnessed
+    "doc_content_hashes", "quality_scores", "lookup_classify_lib",
+    "lookup_classify_bloom", "dedup_clusters_pages",
+    "hll_registers_daily", "docs_from_jsonl",
+    # --- new / newly SQL-oracled in round 5: the salt-policy flagship
+    # run (lossless skew handling + c=2 distinct-collision contract),
+    # the integer-Rademacher LSH top-k, and the unrolled BPE trainer
+    "dedup_edges_salted", "knn_lsh", "bpe_vocab",
+    # --- code changed in round 5 while OUTSIDE the window — their
+    # fixes must be re-witnessed (partition-kernel merges, brute-KNN
+    # fan-in, cfg threading in exact dedup)
+    "heavy_hitter_words", "nation_order_value", "knn_cosine",
+    "exact_dedup_reps", "dedup_survivors", "user_activity_skew",
+    # --- code changed in round 5, already inside: partition-kernel
+    # sweeps (top_words, top_users, url-keyed roll-ups, line dedup,
+    # boilerplate hash broadcast, df census), the CC block-growth fix
+    # (everything downstream of connected_components), and the
+    # dedup_tiers oracle null-mirror
+    "top_words", "top_users_by_value", "pages_latest_crawl",
+    "line_dedup_stats", "crawl_changed", "boilerplate_scrub",
+    "doc_top_terms", "embedding_dup_pairs", "dedup_tiers",
+    "dedup_edges", "dedup_clusters", "cluster_best_docs",
+    "band_occupancy_hist", "lookup_classify", "dedup_clusters_url",
+    "substring_dedup", "fingerprints", "simhash_edges", "minhash_edges",
+    "lang_id", "distinct_users_daily", "pages_links", "host_pagerank",
+    "authority_top_docs",
+    # --- unchanged, once-green in r4 — fill the window ahead of the
+    # twice-green displaced set
+    "shuffle_shards", "curriculum_rank", "token_budget_head",
+    "bpe_pair_counts", "ttr_stats", "docs_from_warc", "docs_from_csv",
+    "quality_features", "doc_chunks", "pack_sequences",
+    # displaced to make room (all >= once hash-green, code unchanged
+    # this round): events_asof_order, events_range_1h,
+    # events_sliding_3h, ngram_jaccard_doc0, embedding_clusters,
+    # token_stats_bpe, stratified_sample, length_quantiles,
+    # gopher_filter, domain_stats, doc_repetition_stats, pii_redact,
+    # url_canonical, decontaminate, docs_from_fasta, docs_from_fastq.
+    # All remain SQL-checked by pytest + tools/driver_sim.py just past
+    # the window.
 ]
 
 

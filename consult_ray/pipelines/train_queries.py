@@ -188,11 +188,16 @@ def q_pages_links(sf_dir: str):
             ["n_links", "n_pages"],
         )
 
-    return (
-        docs.map_batches(pre, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(Sum("n_links", alias_name="n_links"),
-                   Sum("n_pages", alias_name="n_pages"))
+    # host cardinality scales with the web corpus (~10^8 at crawl
+    # scale): merge the per-batch partials with a partition kernel, not
+    # the native per-distinct-key aggregate (58x, commit 4fb6a54)
+    from consult_ray.util import partitioned_group_agg, resolve_join_partitions
+
+    return partitioned_group_agg(
+        docs.map_batches(pre, batch_format="pyarrow"),
+        "host",
+        [("n_links", "sum", "n_links"), ("n_pages", "sum", "n_pages")],
+        resolve_join_partitions(CFG),
     )
 
 
@@ -299,12 +304,16 @@ def q_host_pagerank(sf_dir: str):
             "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
         )
 
-    e = (
-        docs.map_batches(edge_partial, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Sum("one", alias_name="one"))
-        .select_columns(["src", "dst"])
-    )
+    # edge-pair cardinality scales with the corpus: dedupe distinct
+    # (src, dst) pairs with a partition kernel, not the native
+    # per-distinct-key aggregate (58x, commit 4fb6a54)
+    from consult_ray.util import partitioned_group_agg, resolve_join_partitions
+
+    e = partitioned_group_agg(
+        docs.map_batches(edge_partial, batch_format="pyarrow"),
+        ["src", "dst"], [("one", "min", "one")],
+        resolve_join_partitions(CFG),
+    ).select_columns(["src", "dst"])
     return pagerank(e, CFG, iters=_PR_ITERS, scale=_PR_SCALE)
 
 
@@ -849,9 +858,14 @@ def q_bpe_vocab(sf_dir: str):
     distributed census pass shrinks the corpus to its distinct-word
     frequency table, the greedy merge loop then runs over the bounded
     top-`max_words` slice only (the census-then-local-merges shape every
-    production tokenizer trainer uses at scale). Rows-only;
-    tests/test_bpe.py pins every (rank, pair, count) to a brute-force
-    per-word reference implementation."""
+    production tokenizer trainer uses at scale). SQL-checked since
+    round 5: _bpe_vocab_sql unrolls every merge round as materialized
+    CTEs — per-round pair census (sum of word counts over lead()
+    windows), (n DESC, left, right) argmax, and the greedy
+    left-to-right rewrite via the run-parity rule (consecutive hit
+    positions only arise for left==right; keep even offsets). Integer
+    counts end-to-end, so DuckDB replays training bit-exactly (also
+    pinned by tests/test_bpe.py's brute per-word reference)."""
     from consult_ray.stages.bpe import train_bpe, word_census
 
     docs = _read(sf_dir, "documents", ["text"])
@@ -881,6 +895,90 @@ def q_bpe_encode(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def _bpe_vocab_sql(n_merges: int = _BPE_MERGES,
+                   max_words: int = _BPE_MAX_WORDS,
+                   min_count: int = 2) -> str:
+    """DuckDB replay of stages.bpe.train_bpe (see q_bpe_vocab): every
+    merge round unrolled as MATERIALIZED CTEs (DuckDB inlines plain
+    CTEs, which re-executes the whole round chain per reference —
+    exponential). t{k} holds the round-k tokenization as (word, pos,
+    count, symbol) rows; b{k} picks the round's merge by (n DESC, left,
+    right) — the engine's tie-break, since a merge product (len >= 2)
+    can never equal a single char, string order determines the id order
+    too; the rewrite keeps hit positions with EVEN offset inside runs
+    of consecutive hits (only left==right can produce runs), exactly
+    train_bpe's greedy left-to-right rule. Output stops at the first
+    round whose count drops below min_count (the engine's stop rule);
+    validated round-for-round against a brute per-word Python trainer
+    on repeat-run-heavy fixtures before adoption."""
+    parts = [f"""WITH bpe_words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM bpe_words WHERE w <> ''
+  GROUP BY w ORDER BY cnt DESC, w LIMIT {max_words}
+),
+bpe_nums AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 65536)),
+t0 AS MATERIALIZED (
+  SELECT wc.w, n.i, wc.cnt, substring(wc.w, CAST(n.i AS INT), 1) AS s
+  FROM wc JOIN bpe_nums n ON n.i <= length(wc.w)
+)"""]
+    for k in range(n_merges):
+        parts.append(f""",
+b{k} AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+    SELECT s AS l, lead(s) OVER (PARTITION BY w ORDER BY i) AS r, cnt
+    FROM t{k}
+  ) WHERE r IS NOT NULL
+  GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1
+),
+mm{k} AS MATERIALIZED (
+  SELECT *, CASE WHEN hit = 1 AND
+      (rn - min(rn) OVER (PARTITION BY w, run)) % 2 = 0
+    THEN 1 ELSE 0 END AS merged
+  FROM (
+    SELECT *, CASE WHEN hit = 1 THEN
+        CAST(rn - row_number() OVER (PARTITION BY w, hit ORDER BY rn)
+             AS BIGINT)
+      ELSE NULL END AS run
+    FROM (
+      SELECT w, i, cnt, s,
+        lead(s) OVER (PARTITION BY w ORDER BY i) AS nxt,
+        row_number() OVER (PARTITION BY w ORDER BY i) AS rn,
+        CASE WHEN s = (SELECT l FROM b{k})
+              AND lead(s) OVER (PARTITION BY w ORDER BY i)
+                  = (SELECT r FROM b{k})
+             THEN 1 ELSE 0 END AS hit
+      FROM t{k}
+    )
+  )
+),
+t{k + 1} AS MATERIALIZED (
+  SELECT w, rn AS i, cnt,
+    CASE WHEN merged = 1 THEN s || nxt ELSE s END AS s
+  FROM (SELECT *, COALESCE(lag(merged) OVER (PARTITION BY w ORDER BY rn), 0)
+          AS prev_m FROM mm{k})
+  WHERE prev_m = 0
+)""")
+    sel = " UNION ALL ".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right", '
+        f"l || r AS token, n FROM b{k}"
+        for k in range(n_merges)
+    )
+    parts.append(f""",
+merged_all AS (SELECT * FROM ({sel}))
+SELECT CAST(rank AS BIGINT) AS rank, "left", "right", token,
+       CAST(n AS BIGINT) AS n
+FROM merged_all
+WHERE rank < COALESCE(
+  (SELECT MIN(rank) FROM merged_all WHERE n < {min_count}), {n_merges})
+ORDER BY rank""")
+    return "".join(parts)
+
+
+_SQL_BPE_VOCAB = _bpe_vocab_sql()
 
 
 _SQL_BPE_PAIRS = (
@@ -964,6 +1062,7 @@ TRAIN_ORACLE_SQL = {
     "curriculum_rank": _SQL_CURRICULUM,
     "token_budget_head": _SQL_BUDGET_HEAD,
     "bpe_pair_counts": _SQL_BPE_PAIRS,
+    "bpe_vocab": _SQL_BPE_VOCAB,
     "ttr_stats": _SQL_TTR,
     "docs_from_warc": _sql_warc(),
 }

@@ -88,6 +88,32 @@ def brute_force_topk(
     )
 
 
+def rademacher_signature(m: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
+    """Integer-exact sign-random-projection bucket per row of `m`.
+
+    Hyperplanes are +-1 Rademacher vectors (Achlioptas 2003 sparse
+    random projections — same LSH guarantees as Gaussian sign
+    projections) with entry (p, j) = +1 iff the low bit of
+    SplitMix64(seed + p*dim + j) is set; coordinates are e4-quantized
+    via floor(x*1e4 + 0.5) (three exact IEEE ops both numpy and DuckDB
+    reproduce bit-identically — the quality_scores precedent), so the
+    projection is pure int64 arithmetic and the whole signature is
+    REPLAYABLE IN SQL (the knn_lsh DuckDB oracle replays SplitMix64 in
+    HUGEINT and sums the same +-x4 terms). No float dot ever decides a
+    sign, so there is no 1-ulp sign-flip hazard near zero."""
+    from consult_ray.functions.hashing import splitmix64
+
+    dim = m.shape[1]
+    x4 = np.floor(m * 1e4 + 0.5).astype(np.int64)
+    idx = np.uint64(seed) + np.arange(dim * n_planes, dtype=np.uint64)
+    s = np.where(
+        (splitmix64(idx) & np.uint64(1)).astype(bool), 1, -1
+    ).astype(np.int64).reshape(n_planes, dim)
+    dots = x4 @ s.T
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    return ((dots >= 0).astype(np.int64) * weights).sum(axis=1)
+
+
 def add_hyperplane_buckets(
     embeddings: Dataset,
     cfg: PipelineConfig,
@@ -99,30 +125,20 @@ def add_hyperplane_buckets(
 
     Vectors whose signs agree on all n_planes hyperplanes share a bucket;
     search probes only the query's bucket (optionally multi-probe by
-    flipping low-margin bits). Seeded by cfg.seed — deterministic.
-
-    The plane matrix is generated ONCE on the driver (dim sniffed from
-    one row when not given) and broadcast via ray.put — state setup
-    stays out of the per-batch function."""
-    if dim is None:
-        first = embeddings.limit(1).take_all()
-        if not first:
-            return embeddings.map_batches(
-                lambda b: b.append_column(
-                    "bucket", pa.array(np.empty(0, dtype=np.int64))
-                ),
-                batch_format="pyarrow",
-            )
-        dim = len(first[0][vec_col])
-    rng = np.random.default_rng(cfg.seed + 77)
-    planes_ref = ray.put(rng.standard_normal((dim, n_planes)))
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    flipping low-margin bits). Seeded by cfg.seed — deterministic, and
+    (since the signature is rademacher_signature's integer kernel)
+    bit-replayable in the knn_lsh SQL oracle. The sign matrix derives
+    from SplitMix64 inside the batch function — no driver state to
+    broadcast."""
+    seed = cfg.seed + 77
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        planes = ray.get(planes_ref)
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "bucket", pa.array(np.empty(0, dtype=np.int64))
+            )
         m = _embedding_matrix(batch, vec_col)
-        signs = (m @ planes) >= 0
-        bucket = (signs.astype(np.int64) * weights).sum(axis=1)
+        bucket = rademacher_signature(m, n_planes, seed)
         return batch.append_column("bucket", pa.array(bucket))
 
     return embeddings.map_batches(bucketize, batch_format="pyarrow")
@@ -349,11 +365,7 @@ def lsh_topk(
     (1 + C(n_planes, <=n_probe_bits) buckets), so candidates stay a
     small fraction of the table."""
     q = np.asarray(query, dtype=np.float64)
-    rng = np.random.default_rng(cfg.seed + 77)
-    planes = rng.standard_normal((len(q), n_planes))
-    signs = (q @ planes) >= 0
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-    qbucket = int((signs.astype(np.int64) * weights).sum())
+    qbucket = int(rademacher_signature(q[None, :], n_planes, cfg.seed + 77)[0])
     probes = {qbucket}
     if n_probe_bits >= 1:
         for i in range(n_planes):

@@ -36,6 +36,36 @@ def test_round3_unwitnessed_queries_inside_window():
     assert "doc_top_terms" in window  # the r03 red row's fix must be witnessed
 
 
+def test_no_unwitnessed_oracle_outside_window():
+    """The round-4 verdict's rotation invariant, computed from the
+    committed driver artifacts themselves: no SQL-oracled query with
+    ZERO lifetime hash-green CORRECTNESS rows may sit outside the
+    window (it would never receive a hard correctness signal) —
+    regardless of how many times the queries inside have been green."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") and not row.get("err"):
+                greens.add(name)
+    names, oracles = _registry()
+    from consult_ray.pipelines.queries import _DRIVER_WINDOW
+
+    window = set(names[:_DRIVER_WINDOW])
+    stranded = [
+        n for n in names
+        if n in oracles and n not in greens and n not in window
+    ]
+    assert not stranded, (
+        f"SQL-oracled queries with zero lifetime driver greens sit "
+        f"outside the window: {stranded}"
+    )
+
+
 def test_every_oracle_has_a_query():
     names, oracles = _registry()
     nameset = set(names)
