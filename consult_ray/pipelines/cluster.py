@@ -120,7 +120,15 @@ def _propagate_round(diredges: Dataset, labels: Dataset, num_partitions: int) ->
 
     The join-free shape also removes the empty-block Acero hazard
     (util.pin_schema docstring) from the loop entirely. Output schema:
-    (node, label, changed:int8); callers strip/aggregate `changed`."""
+    (node, label, changed:int8); callers strip/aggregate `changed`.
+
+    The lazy `messages` stream feeding the second sort-based shuffle was
+    audited for the sort-reexecution quirk (round-4 advice): measured
+    identical wall-time with and without an intermediate materialize()
+    on the 1000-node chain fixture — the gather work is small relative
+    to the two shuffles — so the round stays a single fused plan. The
+    ACTUAL round cost driver was per-round block growth, fixed in the
+    caller (connected_components_distributed's labels repartition)."""
     from consult_ray.util import hash_partition_col
 
     P = num_partitions
@@ -233,6 +241,93 @@ def _propagate_round(diredges: Dataset, labels: Dataset, num_partitions: int) ->
         .groupby("__part")
         .map_groups(merge_kernel, batch_format="pyarrow")
     )
+
+
+def _labels_arrays(labels: Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """(nodes_sorted, labels) int64 arrays from a (node, label) Dataset
+    — the driver-state representation (16 B/node)."""
+    parts = list(labels.select_columns(["node", "label"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ))
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t = pa.concat_tables(parts)
+    n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    l = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(n, kind="stable")
+    return n[o], l[o]
+
+
+def _arrays_labels(nodes: np.ndarray, labels: np.ndarray, P: int) -> Dataset:
+    ds = rd.from_arrow(pa.table({
+        "node": pa.array(nodes), "label": pa.array(labels),
+    }))
+    return ds.repartition(max(1, min(P, len(nodes)))) if len(nodes) else ds
+
+
+def _propagate_round_driver(
+    diredges: Dataset,
+    nodes_sorted: np.ndarray,
+    labels_np: np.ndarray,
+    P: int,
+) -> tuple[np.ndarray, int]:
+    """One min-label round with per-NODE state on the driver (the
+    pagerank pattern — see PipelineConfig.cc_driver_node_limit).
+
+    The co-partitioned `_propagate_round` re-shuffles EVERY directed
+    edge through a sort exchange EVERY round just to co-locate it with
+    a 16 B/node label table; when that table fits the driver, ray.put
+    it instead and the gather becomes ONE shuffle-free vectorized map
+    over the static edge table (searchsorted label lookup + per-batch
+    per-dst min partials), merged by a single partition-kernel min over
+    at most node-count partial rows. Measured at 22.4M directed edges /
+    2.6M nodes on 8 CPUs: 42 s -> ~4 s per round. Edges never leave the
+    cluster; only (dst, min-label) partials move."""
+    import ray as _ray
+
+    ref = _ray.put((nodes_sorted, labels_np))
+
+    def gather_partial(batch: pa.Table) -> pa.Table:
+        ln, ll = _ray.get(ref)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        if not len(src):
+            return pa.table({
+                "node": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+            })
+        pos = np.searchsorted(ln, src)
+        assert int(pos.max()) < len(ln) and bool((ln[pos] == src).all()), (
+            "CC gather: edge src without a label row"
+        )
+        lab = ll[pos]
+        o = np.lexsort((lab, dst))
+        d_s, l_s = dst[o], lab[o]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return pa.table({
+            "node": pa.array(d_s[starts]),
+            "m": pa.array(np.minimum.reduceat(l_s, starts)),
+        })
+
+    from consult_ray.util import partitioned_group_agg
+
+    merged = partitioned_group_agg(
+        diredges.map_batches(gather_partial, batch_format="pyarrow"),
+        "node", [("m", "min", "m")], P,
+    )
+    new = labels_np.copy()
+    changed = 0
+    # one row per node after the partition merge, so every idx is
+    # first-touch and `imp` compares against the OLD label — the same
+    # changed witness merge_kernel computes
+    for b in merged.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        n_ = b["node"].to_numpy(zero_copy_only=False)
+        m_ = b["m"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(nodes_sorted, n_)
+        imp = m_ < new[idx]
+        new[idx[imp]] = m_[imp]
+        changed += int(imp.sum())
+    return new, changed
 
 
 def _contract_blocks(edges: Dataset) -> Dataset:
@@ -367,29 +462,48 @@ def connected_components_distributed(
         _contract_blocks(edges.select_columns(["a", "b"]))
     ).materialize()
     P = resolve_join_partitions(cfg)
+    n_nodes = labels.count()
+    # per-node driver state when it fits (cc_driver_node_limit
+    # docstring): each round is one shuffle-free map over the static
+    # edge table instead of re-shuffling every edge; beyond the limit
+    # the co-partitioned rounds below carry arbitrarily large graphs
+    driver_state = n_nodes <= cfg.cc_driver_node_limit
+    if driver_state:
+        nodes_np, labels_np = _labels_arrays(labels)
     for i in range(start_round, cfg.cc_max_iters):
-        out = _propagate_round(diredges, labels, P).materialize()
-        # in-round witness: rounds end as soon as no label improved —
-        # the previous sum-equality witness needed one full CONFIRM
-        # round after convergence (a ~50 s round at 2.6M nodes / 46.5M
-        # directed edges on this host) plus a full-label Sum
-        row = out.aggregate(Sum("changed", alias_name="c"))
-        n_changed = row["c"] if isinstance(row, dict) else row
-        # REPARTITION before the next round: Ray 2.49's sort shuffle
-        # emits one output block per INPUT block (not per partition), so
-        # each round's label set would otherwise inherit
-        # blocks(labels) + blocks(messages) blocks — an EXPONENTIAL
-        # per-round block growth (L_{i+1} = 2 L_i + D; measured: a
-        # 10-block 1000-node path graph reached ~2550 blocks by round 7
-        # and a single merge round spawned 5110 map tasks). Bounding
-        # labels at P row-range blocks keeps every round's task count
-        # O(P + blocks(diredges)).
-        labels = (
-            out.select_columns(["node", "label"]).repartition(P).materialize()
-        )
+        if driver_state:
+            labels_np, n_changed = _propagate_round_driver(
+                diredges, nodes_np, labels_np, P
+            )
+            labels = _arrays_labels(nodes_np, labels_np, P)
+        else:
+            out = _propagate_round(diredges, labels, P).materialize()
+            # in-round witness: rounds end as soon as no label improved
+            # — the previous sum-equality witness needed one full
+            # CONFIRM round after convergence (a ~50 s round at 2.6M
+            # nodes / 46.5M directed edges on this host) plus a
+            # full-label Sum
+            row = out.aggregate(Sum("changed", alias_name="c"))
+            n_changed = row["c"] if isinstance(row, dict) else row
+            # REPARTITION before the next round: Ray 2.49's sort
+            # shuffle emits one output block per INPUT block (not per
+            # partition), so each round's label set would otherwise
+            # inherit blocks(labels) + blocks(messages) blocks — an
+            # EXPONENTIAL per-round block growth (L_{i+1} = 2 L_i + D;
+            # measured: a 10-block 1000-node path graph reached ~2550
+            # blocks by round 7 and a single merge round spawned 5110
+            # map tasks). Bounding labels at P row-range blocks keeps
+            # every round's task count O(P + blocks(diredges)).
+            labels = (
+                out.select_columns(["node", "label"])
+                .repartition(P).materialize()
+            )
         if checkpoint_dir:
-            row = labels.aggregate(Sum("label", alias_name="s"))
-            cur = row["s"] if isinstance(row, dict) else row
+            if driver_state:
+                cur = int(labels_np.sum())
+            else:
+                row = labels.aggregate(Sum("label", alias_name="s"))
+                cur = row["s"] if isinstance(row, dict) else row
             gen = f"cc_round_{i}-{uuid.uuid4().hex[:8]}"
             labels.write_parquet(fsio.join(ckroot, gen), filesystem=fs)
             # commit point: one single-object PUT naming the data dir;

@@ -105,6 +105,50 @@ def test_distributed_cc_matches_driver(corpus, ray_session):
     assert a == b
 
 
+def test_distributed_cc_copartitioned_path_matches_driver(corpus, ray_session):
+    """The beyond-driver-limit co-partitioned rounds (forced via
+    cc_driver_node_limit=0) must produce the same labels as the driver
+    union-find and as the driver-state rounds — the scale path cannot
+    silently rot now that small graphs default to driver state."""
+    import dataclasses
+
+    docs_tbl, _ = corpus
+    docs = rd.from_arrow(docs_tbl)
+    edges_ds, _ = dup_edges(docs, CFG)
+    edges_ds = edges_ds.materialize()
+    drv = connected_components(edges_ds, CFG, mode="driver").to_pandas()
+    forced = dataclasses.replace(CFG, cc_driver_node_limit=0)
+    dist = connected_components(edges_ds, forced, mode="distributed").to_pandas()
+    assert dict(zip(drv["node"], drv["label"])) == dict(
+        zip(dist["node"], dist["label"])
+    )
+
+
+def test_distributed_cc_copartitioned_checkpoint_resume(ray_session, tmp_path):
+    """Checkpoint round commits + resume on the forced co-partitioned
+    path (the driver-state default is covered by the main resume test)."""
+    import dataclasses
+
+    n = 400
+    edges = pa.table({
+        "a": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "b": pa.array(np.arange(1, n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(edges).repartition(6).materialize()
+    forced = dataclasses.replace(CFG, cc_driver_node_limit=0)
+    d = str(tmp_path / "cc_forced")
+    r1 = connected_components(
+        ds, forced, mode="distributed", checkpoint_dir=d
+    ).to_pandas()
+    r2 = connected_components(
+        ds, forced, mode="distributed", checkpoint_dir=d
+    ).to_pandas()
+    assert set(r1.label) == {0} and len(r1) == n
+    a = dict(zip(r1["node"], r1["label"]))
+    b = dict(zip(r2["node"], r2["label"]))
+    assert a == b
+
+
 def test_census_caps_hot_boilerplate_keys(ray_session):
     """A corpus of near-identical docs produces a hot band key; the census
     must find it and the cap must bound pair generation."""
