@@ -24,8 +24,10 @@ Design notes for 100 TB:
     except drops are COUNTED and reported via lineage.
   * duplicate edges from multiple colliding bands are NOT deduplicated
     here: connected components is insensitive to edge multiplicity, and a
-    pair-level groupby would be a second all-to-all for zero semantic
-    gain at c=1. With collision_threshold c>1 the pair-count groupby runs
+    pair-level exchange would be a second all-to-all for zero semantic
+    gain at c=1. With collision_threshold c>1 pair_count_threshold runs
+    ONE (a,b)-prefix partition-kernel shuffle that dedupes per
+    (a, b, band_kind, band) and applies the distinct-collision count
     (A4 analog, /root/reference/main_search.cpp:883-894).
 """
 
