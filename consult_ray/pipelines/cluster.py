@@ -475,7 +475,12 @@ def connected_components_distributed(
             labels_np, n_changed = _propagate_round_driver(
                 diredges, nodes_np, labels_np, P
             )
-            labels = _arrays_labels(nodes_np, labels_np, P)
+            if checkpoint_dir:
+                # only the checkpoint write needs a Dataset view; the
+                # post-loop build below serves the return value, so a
+                # non-checkpointed run never serializes the label table
+                # into the object store mid-loop
+                labels = _arrays_labels(nodes_np, labels_np, P)
         else:
             out = _propagate_round(diredges, labels, P).materialize()
             # in-round witness: rounds end as soon as no label improved
@@ -519,6 +524,8 @@ def connected_components_distributed(
             prev_sum = cur
         if not n_changed:
             break
+    if driver_state:
+        labels = _arrays_labels(nodes_np, labels_np, P)
     return labels
 
 

@@ -119,6 +119,40 @@ def hot_band_keys(census: Dataset, cfg: PipelineConfig) -> tuple[set[int], int]:
     return keys, int(dropped)
 
 
+def _cap_by_partition(hot: Dataset, cfg: PipelineConfig) -> Dataset:
+    """Partition-kernel bucket cap over a hot-side band stream — the ONE
+    implementation shared by the exact-census and sketch cap paths:
+    a per-block partial cap (<= bucket_cap rows per band_key per block,
+    the grouped-top-k combiner shape) bounds what any one hot key can
+    put on a shuffle partition, then one vectorized multi-bucket cap
+    per HASH PARTITION emits P contiguous tables. Never
+    groupby(band_key).map_groups: one Python call per hot key plus
+    downstream block fragmentation were the measured 2x tax the fused
+    path engineered out."""
+    from consult_ray.pipelines.operators import _top_k_batch
+
+    cap, P = cfg.bucket_cap, resolve_join_partitions(cfg)
+
+    def partial_cap(batch: pa.Table) -> pa.Table:
+        return _top_k_batch(batch, "band_key", [("doc_id", False)], cap, None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        part = (k % np.uint64(P)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def cap_partition(g: pa.Table) -> pa.Table:
+        t = _top_k_batch(g, "band_key", [("doc_id", False)], cap, None)
+        return t.drop_columns(["part"]).combine_chunks()
+
+    return (
+        hot.map_batches(partial_cap, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cap_partition, batch_format="pyarrow")
+    )
+
+
 def cap_hot_buckets(bands: Dataset, cfg: PipelineConfig, hot_keys: set[int]) -> Dataset:
     """Keep only the bucket_cap smallest doc_ids within each hot band key
     (deterministic cap; CONSULT keeps the FIRST 28 of stream order at
@@ -144,35 +178,9 @@ def cap_hot_buckets(bands: Dataset, cfg: PipelineConfig, hot_keys: set[int]) -> 
         return batch.filter(pa.array(mask))
 
     cold = bands.map_batches(split_cold, batch_format="pyarrow", **_throttle(cfg))
-
-    # Same partition-kernel shape as cap_hot_buckets_sketch (one
-    # vectorized multi-bucket cap per HASH PARTITION, with a per-block
-    # partial cap bounding any one key's contribution) — never
-    # groupby(band_key).map_groups, whose one-Python-call-per-hot-key
-    # cost and downstream block fragmentation are the measured 2x tax
-    # the fused path engineered out.
-    from consult_ray.pipelines.operators import _top_k_batch
-
-    cap, P = cfg.bucket_cap, resolve_join_partitions(cfg)
-
-    def partial_cap(batch: pa.Table) -> pa.Table:
-        return _top_k_batch(batch, "band_key", [("doc_id", False)], cap, None)
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        k = batch["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
-        part = (k % np.uint64(P)).astype(np.int64)
-        return batch.append_column("part", pa.array(part))
-
-    def cap_partition(g: pa.Table) -> pa.Table:
-        t = _top_k_batch(g, "band_key", [("doc_id", False)], cap, None)
-        return t.drop_columns(["part"]).combine_chunks()
-
-    capped_hot = (
-        bands.map_batches(split_hot, batch_format="pyarrow", **_throttle(cfg))
-        .map_batches(partial_cap, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(cap_partition, batch_format="pyarrow")
+    capped_hot = _cap_by_partition(
+        bands.map_batches(split_hot, batch_format="pyarrow", **_throttle(cfg)),
+        cfg,
     )
     return cold.union(capped_hot)
 
@@ -335,37 +343,12 @@ def cap_hot_buckets_sketch(bands: Dataset, cfg: PipelineConfig) -> Dataset:
     def split_hot(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.array(hot_mask(batch)))
 
-    # Hot-side capping runs per HASH PARTITION, not per band_key group:
-    # groupby(band_key).map_groups invoked one Python call per hot key
-    # (~10^5 tiny tables whose concatenation left every downstream
-    # block with thousands of array chunks — a measured 2x tax on the
-    # whole candidate stage), while one vectorized multi-bucket cap per
-    # partition emits P contiguous tables. The per-block partial cap
-    # bounds what one hot key can put on a partition to
-    # cap * n_blocks rows (grouped-top-k combiner shape).
-    from consult_ray.pipelines.operators import _top_k_batch
-
-    cap, P = cfg.bucket_cap, resolve_join_partitions(cfg)
-
-    def partial_cap(batch: pa.Table) -> pa.Table:
-        return _top_k_batch(batch, "band_key", [("doc_id", False)], cap, None)
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        k = batch["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
-        part = (k % np.uint64(P)).astype(np.int64)
-        return batch.append_column("part", pa.array(part))
-
-    def cap_partition(g: pa.Table) -> pa.Table:
-        t = _top_k_batch(g, "band_key", [("doc_id", False)], cap, None)
-        return t.drop_columns(["part"]).combine_chunks()
-
+    # Hot-side capping runs per HASH PARTITION, not per band_key group
+    # (_cap_by_partition docstring for the measured rationale).
     cold = bands.map_batches(split_cold, batch_format="pyarrow", **_throttle(cfg))
-    capped_hot = (
-        bands.map_batches(split_hot, batch_format="pyarrow", **_throttle(cfg))
-        .map_batches(partial_cap, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(cap_partition, batch_format="pyarrow")
+    capped_hot = _cap_by_partition(
+        bands.map_batches(split_hot, batch_format="pyarrow", **_throttle(cfg)),
+        cfg,
     )
     return cold.union(capped_hot)
 

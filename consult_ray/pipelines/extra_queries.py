@@ -387,7 +387,7 @@ def q_union_langs(sf_dir: str):
     from consult_ray.pipelines.operators import preagg_group_count
 
     unioned = a.union(b)
-    counts = preagg_group_count(unioned, "lang", "n")
+    counts = preagg_group_count(unioned, "lang", "n", cfg=CFG)
     return counts
 
 
@@ -414,7 +414,7 @@ def q_distinct_users_daily(sf_dir: str):
                          "user_id": batch["user_id"]})
 
     daily = ds.map_batches(add_day, batch_format="pyarrow")
-    return distinct_count_by(daily, "day", "user_id", out_name="n_users")
+    return distinct_count_by(daily, "day", "user_id", out_name="n_users", cfg=CFG)
 
 
 def q_approx_distinct_users_daily(sf_dir: str):

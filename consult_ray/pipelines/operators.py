@@ -178,14 +178,16 @@ def broadcast_anti_join(left: Dataset, keys: np.ndarray, on: str) -> Dataset:
 # grouped aggregation with per-batch pre-combine
 # ---------------------------------------------------------------------
 
-def preagg_group_count(ds: Dataset, key: str, out_name: str = "n") -> Dataset:
+def preagg_group_count(
+    ds: Dataset, key: str, out_name: str = "n",
+    cfg: PipelineConfig | None = None,
+) -> Dataset:
     """groupby(key).count() with per-batch combining: the shuffle carries
     one row per key per block instead of one per input row, and the
     merge is a partition kernel (util.partitioned_group_agg) so callers
     with corpus-scaling keys (user ids, hosts) never hit the native
     aggregate's per-distinct-key cliff (58x, commit 4fb6a54); bounded
     keys pay only a no-op partitioning."""
-    from consult_ray.config import PipelineConfig
     from consult_ray.util import partitioned_group_agg
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -197,7 +199,7 @@ def preagg_group_count(ds: Dataset, key: str, out_name: str = "n") -> Dataset:
     return partitioned_group_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
         key, [(out_name, "sum", out_name)],
-        resolve_join_partitions(PipelineConfig()),
+        resolve_join_partitions(cfg or PipelineConfig()),
     )
 
 
@@ -592,7 +594,8 @@ def sessionize(
 
 
 def distinct_count_by(
-    ds: Dataset, group_key: str, distinct_key: str, out_name: str = "n_distinct"
+    ds: Dataset, group_key: str, distinct_key: str,
+    out_name: str = "n_distinct", cfg: PipelineConfig | None = None,
 ) -> Dataset:
     """Exact COUNT(DISTINCT distinct_key) GROUP BY group_key: per-batch
     pair dedup -> ONE (group, distinct)-keyed partition-kernel pass that
@@ -600,14 +603,22 @@ def distinct_count_by(
     duplicates co-locate under the composite hash, so partition-level
     dedup is global; a group's pairs span partitions, so counts merge in
     a second tiny kernel). Pair cardinality scales with the corpus —
-    never the native per-distinct-key aggregate (58x, 4fb6a54)."""
+    never the native per-distinct-key aggregate (58x, 4fb6a54).
+
+    Null semantics: a null distinct_key counts as ONE distinct value
+    per group (the Arrow group_by dedupe behavior of the per-batch
+    partial; SQL COUNT(DISTINCT) would exclude it) and a null
+    group_key forms its own group — boundary detection is null-aware,
+    so a null at a sorted boundary can never produce a null mask entry
+    that Arrow's filter would drop (which silently ate the NEXT group's
+    first pair)."""
     from consult_ray.config import PipelineConfig
     from consult_ray.util import (
         hash_partition_cols,
         partitioned_group_agg,
     )
 
-    P = resolve_join_partitions(PipelineConfig())
+    P = resolve_join_partitions(cfg or PipelineConfig())
 
     def pairs(batch: pa.Table) -> pa.Table:
         tb = batch.select([group_key, distinct_key])
@@ -631,10 +642,17 @@ def distinct_count_by(
         s = g.take(idx)
         gk = s.column(group_key).combine_chunks()
         dk = s.column(distinct_key).combine_chunks()
+
+        def nsafe_neq(col, ln):
+            a, b = col.slice(1), col.slice(0, ln - 1)
+            return pc.or_(
+                pc.xor(pc.is_null(a), pc.is_null(b)),
+                pc.fill_null(pc.not_equal(a, b), False),
+            )
+
         if n > 1:
             neq = pc.or_(
-                pc.not_equal(gk.slice(1), gk.slice(0, n - 1)),
-                pc.not_equal(dk.slice(1), dk.slice(0, n - 1)),
+                nsafe_neq(gk, n), nsafe_neq(dk, n)
             ).to_numpy(zero_copy_only=False)
             first = np.r_[True, neq]
         else:
@@ -642,9 +660,7 @@ def distinct_count_by(
         gk_f = gk.filter(pa.array(first))
         m = len(gk_f)
         if m > 1:
-            gneq = pc.not_equal(
-                gk_f.slice(1), gk_f.slice(0, m - 1)
-            ).to_numpy(zero_copy_only=False)
+            gneq = nsafe_neq(gk_f, m).to_numpy(zero_copy_only=False)
             starts = np.concatenate(([0], np.flatnonzero(gneq) + 1))
         else:
             starts = np.zeros(min(m, 1), dtype=np.int64)
@@ -778,22 +794,25 @@ def approx_distinct_count_by(
     )
 
 
-def preagg_group_sum(ds: Dataset, key: str, value: str, out_name: str) -> Dataset:
+def preagg_group_sum(
+    ds: Dataset, key: str, value: str, out_name: str,
+    cfg: PipelineConfig | None = None,
+) -> Dataset:
     """groupby(key).sum(value) with per-batch combining (Arrow-native —
-    pa.Table.group_by — no pandas round-trip in the partial)."""
+    pa.Table.group_by — no pandas round-trip in the partial); partition-
+    kernel merge (see preagg_group_count)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         from consult_ray.util import grouped
 
         return grouped(batch.select([key, value]), [key], [(value, "sum")], [out_name])
 
-    from consult_ray.config import PipelineConfig
     from consult_ray.util import partitioned_group_agg
 
     return partitioned_group_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
         key, [(out_name, "sum", out_name)],
-        resolve_join_partitions(PipelineConfig()),
+        resolve_join_partitions(cfg or PipelineConfig()),
     )
 
 

@@ -79,7 +79,7 @@ def q_token_stats(sf_dir: str):
 def q_lang_hist(sf_dir: str):
     """Language histogram with per-batch pre-aggregation (A1/A5 analog)."""
     ds = _read(sf_dir, "documents", ["lang"])
-    return ops.preagg_group_count(ds, "lang", "n")
+    return ops.preagg_group_count(ds, "lang", "n", cfg=CFG)
 
 
 def q_source_stats(sf_dir: str):
@@ -188,8 +188,8 @@ def q_events_hourly(sf_dir: str):
 def q_user_activity_skew(sf_dir: str):
     """Skew census (A3 analog): histogram of per-user event counts."""
     ds = _read(sf_dir, "events", ["user_id"])
-    per_user = ops.preagg_group_count(ds, "user_id", "n_events")
-    return ops.preagg_group_count(per_user, "n_events", "n_users")
+    per_user = ops.preagg_group_count(ds, "user_id", "n_events", cfg=CFG)
+    return ops.preagg_group_count(per_user, "n_events", "n_users", cfg=CFG)
 
 
 def q_customers_without_orders(sf_dir: str):
@@ -702,7 +702,7 @@ def q_band_occupancy_hist(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     census = band_key_census(band_rows(fps(docs, CFG), CFG), CFG)
-    hist = ops.preagg_group_count(census, "cnt", "n_buckets")
+    hist = ops.preagg_group_count(census, "cnt", "n_buckets", cfg=CFG)
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({

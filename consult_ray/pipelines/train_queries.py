@@ -870,7 +870,7 @@ def q_bpe_vocab(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["text"])
     return train_bpe(
-        word_census(docs), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+        word_census(docs, cfg=CFG), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
     )
 
 
@@ -887,7 +887,7 @@ def q_bpe_encode(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     merges = train_bpe(
-        word_census(docs), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+        word_census(docs, cfg=CFG), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
     )
     return docs.map_batches(
         BpeEncoder,

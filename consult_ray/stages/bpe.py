@@ -43,12 +43,13 @@ from consult_ray.util import grouped
 _BASE = 0x110000
 
 
-def word_census(ds: Dataset, text_col: str = "text") -> Dataset:
+def word_census(ds: Dataset, text_col: str = "text", cfg=None) -> Dataset:
     """(word, n) frequency table of space-separated words. Per-block
     value_counts partials -> one vocabulary-sized partition-kernel
     merge (vocab cardinality scales with the corpus, so the native
     per-distinct-key aggregate is the measured 58x cliff — commit
-    4fb6a54; see util.partitioned_group_agg)."""
+    4fb6a54; see util.partitioned_group_agg). cfg sizes the shuffle
+    (defaults to PipelineConfig())."""
     from consult_ray.config import PipelineConfig
     from consult_ray.util import partitioned_group_agg, resolve_join_partitions
 
@@ -66,7 +67,7 @@ def word_census(ds: Dataset, text_col: str = "text") -> Dataset:
     return partitioned_group_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
         "word", [("n", "sum", "n")],
-        resolve_join_partitions(PipelineConfig()),
+        resolve_join_partitions(cfg or PipelineConfig()),
     )
 
 

@@ -192,7 +192,10 @@ def _col_hash_u64(col):
     """uint64 content hash of ANY key column: integers go through
     SplitMix64 (sequential ids would otherwise stripe), strings and
     binaries through the content hash the id stage uses. Vectorized
-    end-to-end."""
+    end-to-end. Nulls hash as a fill constant (0 / empty) — partition
+    placement only: callers that GROUP must distinguish nulls from the
+    fill value themselves (partitioned_group_agg's null-aware boundary
+    detection does), a collision merely co-locates."""
     import numpy as np
 
     from consult_ray.functions.hashing import splitmix64
@@ -205,9 +208,17 @@ def _col_hash_u64(col):
     ):
         from consult_ray.stages.ids import hash_keys
 
+        if col.null_count:
+            col = col.fill_null(
+                b"" if pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                else ""
+            )
         return hash_keys(col).view(np.uint64)
+    col = col.cast(pa.int64())
+    if col.null_count:
+        col = col.fill_null(0)
     return splitmix64(
-        col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        col.to_numpy(zero_copy_only=False).view(np.uint64)
     )
 
 
@@ -311,8 +322,15 @@ def partitioned_group_agg(
 
     `aggs`: list of (val_col, op, out_name) with op in
     {"min", "max", "sum", "count"}; for "count" val_col may be None
-    (row count per key). Keys must be NON-NULL (asserted) — null-key
-    semantics belong to the caller's predicate, not this kernel.
+    (row count per key), and a val_col may BE a key column (e.g. a
+    first-key-per-group min). NULL KEYS form their own group — SQL
+    GROUP BY semantics, matching every DuckDB oracle (nulls hash to one
+    partition via a fill constant; grouping uses null-aware boundary
+    detection, so a fill-value collision only co-locates, never
+    merges). VALUES must be non-null for min/max/sum (asserted —
+    Arrow's native aggregates silently SKIP null values, and a silent
+    semantic divergence from the shape this replaces must fail loudly
+    instead).
     Output: key_cols (original types) + one column per agg, one row per
     distinct key. Sum keeps the value dtype (int64 partials stay int64);
     count is int64. Callers that pre-combine per batch feed partial
@@ -324,9 +342,9 @@ def partitioned_group_agg(
         key_cols = [key_cols]
     val_cols = []
     for v, _op, _out in aggs:
-        if v is not None and v not in val_cols and v not in key_cols:
+        if v is not None and v not in val_cols:
             val_cols.append(v)
-    in_cols = list(key_cols) + val_cols
+    in_cols = list(key_cols) + [v for v in val_cols if v not in key_cols]
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.select(in_cols).append_column(
@@ -351,9 +369,14 @@ def partitioned_group_agg(
         neq = None
         for k in key_cols:
             ks = s.column(k).combine_chunks()
-            assert ks.null_count == 0, f"null group key in {k!r}"
             if n > 1:
-                d = pc.not_equal(ks.slice(1), ks.slice(0, n - 1))
+                a, b = ks.slice(1), ks.slice(0, n - 1)
+                # null-aware boundary: validity flip = new group;
+                # both-null compares equal (one null group per key tuple)
+                d = pc.or_(
+                    pc.xor(pc.is_null(a), pc.is_null(b)),
+                    pc.fill_null(pc.not_equal(a, b), False),
+                )
                 neq = d if neq is None else pc.or_(neq, d)
         if n > 1:
             starts = np.concatenate(
@@ -363,9 +386,15 @@ def partitioned_group_agg(
             starts = np.zeros(1, dtype=np.int64)
         take_idx = pa.array(starts)
         out_cols = {k: s.column(k).take(take_idx) for k in key_cols}
-        vals = {
-            v: s.column(v).to_numpy(zero_copy_only=False) for v in val_cols
-        }
+        needed = {v for v, op, _ in aggs if v is not None and op != "count"}
+        vals = {}
+        for v in needed:
+            vc = s.column(v).combine_chunks()
+            assert vc.null_count == 0, (
+                f"null aggregate value in {v!r} (Arrow native aggregates "
+                "skip nulls; fill or filter before this kernel)"
+            )
+            vals[v] = vc.to_numpy(zero_copy_only=False)
         for v, op, out in aggs:
             if op == "count":
                 out_cols[out] = pa.array(

@@ -72,14 +72,65 @@ def test_empty_input(ray_session):
     assert sch is None or set(sch.names) in ({"k", "s"}, set())
 
 
-def test_null_key_rejected(ray_session):
+def test_null_keys_form_their_own_group(ray_session):
+    """SQL GROUP BY semantics: null keys are ONE group (matching every
+    DuckDB oracle), and null-aware boundary detection means a null at a
+    sorted boundary can never merge with (or corrupt) the fill-value
+    group — 0 and None must stay distinct."""
     tbl = pa.table({
-        "k": pa.array([1, None, 2], pa.int64()),
+        "k": pa.array([1, None, 2, None, 0, 1], pa.int64()),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = partitioned_group_agg(ds, "k", [("v", "sum", "s")], 4).to_pandas()
+    got = {(None if pd.isna(k) else int(k)): int(s)
+           for k, s in zip(out["k"], out["s"])}
+    assert got == {1: 7, 2: 3, 0: 5, None: 6}
+
+
+def test_key_column_as_aggregate_value(ray_session):
+    """A val_col that IS a key column (first-key-per-group shapes) must
+    work rather than KeyError."""
+    tbl = pa.table({
+        "k": pa.array([3, 3, 5], pa.int64()),
         "v": pa.array([1, 2, 3], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl)
+    out = partitioned_group_agg(
+        ds, "k", [("k", "min", "kmin"), ("v", "sum", "s")], 2
+    ).to_pandas().sort_values("k", ignore_index=True)
+    assert out["kmin"].tolist() == [3, 5]
+    assert out["s"].tolist() == [3, 3]
+
+
+def test_null_aggregate_value_fails_loudly(ray_session):
+    """Arrow's native aggregates silently skip null VALUES; the kernel
+    must refuse them instead of silently diverging."""
+    tbl = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "v": pa.array([1, None], pa.int64()),
     })
     ds = rd.from_arrow(tbl)
     with pytest.raises(Exception):
         partitioned_group_agg(ds, "k", [("v", "sum", "s")], 2).take_all()
+
+
+def test_distinct_count_by_null_boundary(ray_session):
+    """The confirmed review repro: (g=1,u=NULL),(g=2,u=5) sort adjacent;
+    a non-null-aware boundary mask dropped group 2 entirely."""
+    from consult_ray.pipelines.operators import distinct_count_by
+
+    tbl = pa.table({
+        "g": pa.array([1, 2], pa.int64()),
+        "u": pa.array([None, 5], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl)
+    out = distinct_count_by(ds, "g", "u", out_name="n").to_pandas()
+    got = dict(zip(out["g"].astype(int), out["n"].astype(int)))
+    # null counts as one distinct value per group (documented; SQL
+    # COUNT(DISTINCT) would exclude it) — the essential property is
+    # group 2 SURVIVES with its pair counted
+    assert got == {1: 1, 2: 1}
 
 
 def test_distinct_count_by_matches_brute(ray_session):
